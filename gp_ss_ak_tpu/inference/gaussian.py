@@ -1,0 +1,145 @@
+"""Exact Gaussian(-warped) GP regression: NLML, posterior, prediction.
+
+The reference reaches these quantities through Laplace/IRLS Newton
+iteration with a Brent line search (GP_Utils.cpp:180-381); for a
+(warped-)Gaussian likelihood that machinery converges to exact GP
+regression in one Newton step, so this module implements the closed
+form directly — the idiomatic TPU design (one jitted function of
+(params, X, y); gradient via jax.grad).
+
+Equivalence to the reference NLML (GP_Utils.cpp:1138-1162):
+with W = 1/sn2, B = I + sqrt(W) K sqrt(W) and alpha solving
+(K + sn2 I) alpha = g(y), the reference's
+  L = 1/2 alpha^T K alpha - sum lp + sum log diag chol(B)
+equals the standard
+  L = 1/2 g(y)^T alpha + 1/2 log det(K + sn2 I) + N/2 log 2pi
+      - sum log g'(y)
+which is what we compute (single Cholesky of A = K + sn2 I).
+
+A failed Cholesky surfaces as NaN in the objective, which the
+optimizers reject (the reference's Chol_fail -> NaN protocol,
+GP_Utils.cpp:884-887, 1145-1146).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gp_ss_ak_tpu.inference import warping
+from gp_ss_ak_tpu.inference.likelihoods import Gaussian, WarpedGaussian
+from gp_ss_ak_tpu.inference.quadrature import gauss_hermite
+
+
+class Posterior(NamedTuple):
+    """Derived GP state (the reference recomputes this on model load —
+    model files store only hyperparameters, GP_Utils.cpp:1360-1390)."""
+
+    alpha: jnp.ndarray  # (n,)   (K + sn2 I)^-1 g(y)
+    chol: jnp.ndarray   # (n, n) lower Cholesky of K + sn2 I
+    gy: jnp.ndarray     # (n,)   effective (possibly warped) targets
+    lgpy: jnp.ndarray   # (n,)   log g'(y) (zeros for plain Gaussian)
+
+
+def _gram(kernel, params, X, jitter: float = 0.0):
+    K = kernel.matrix(params, X, X, same=True)
+    if jitter:
+        K = K + jitter * jnp.eye(X.shape[0], dtype=K.dtype)
+    return K
+
+
+def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
+              jitter: float = 0.0) -> Posterior:
+    """Build alpha and the Cholesky factor of A = K + sn2 I.
+
+    Wrapped in full-f32 matmul precision: XLA's blocked Cholesky and
+    triangular solves are dot_general-based, and the TPU's default
+    bf16 MXU precision destroys positive-definiteness at f32 dtypes.
+    """
+    n = X.shape[0]
+    if isinstance(likelihood, WarpedGaussian):
+        gy, lgpy = likelihood.effective_target(lik_hypers, y)
+        sn2 = likelihood.noise_variance(lik_hypers)
+    else:
+        gy, lgpy = y, jnp.zeros_like(y)
+        sn2 = likelihood.noise_variance(lik_hypers)
+    with jax.default_matmul_precision("highest"):
+        K = _gram(kernel, params, X, jitter)
+        A = K + sn2 * jnp.eye(n, dtype=K.dtype)
+        L = jnp.linalg.cholesky(A)  # NaN rows on failure -> NaN objective
+        alpha = jax.scipy.linalg.cho_solve((L, True), gy)
+    return Posterior(alpha=alpha, chol=L, gy=gy, lgpy=lgpy)
+
+
+def nlml(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
+         jitter: float = 0.0) -> jnp.ndarray:
+    """Negative log marginal likelihood (the minimized objective; the
+    reference prints it as "-logL", Opt_pars.cpp:282)."""
+    post = factorize(kernel, params, lik_hypers, X, y, likelihood, jitter)
+    n = X.shape[0]
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(post.chol)))
+    fit = 0.5 * jnp.dot(post.gy, post.alpha)
+    const = 0.5 * n * math.log(2.0 * math.pi)
+    return fit + half_logdet + const - jnp.sum(post.lgpy)
+
+
+def posterior_mean_var(kernel, params, lik_hypers, X, post: Posterior,
+                       Xstar, likelihood=Gaussian(), full_cov: bool = False):
+    """Latent+noise predictive mean/variance at Xstar.
+
+    Mirrors posteriorMeanVar (GP_Utils.cpp:943-1080): cross-kernel,
+    mu = kX^T alpha, whitened solve for the variance with a clamp at 0,
+    then + observation noise; warped models push the Gaussian through
+    g^{-1} with 20-node Gauss-Hermite quadrature.
+    """
+    with jax.default_matmul_precision("highest"):
+        kX = kernel.matrix(params, X, Xstar, same=False)   # (n, m)
+        mu = kX.T @ post.alpha
+        kdiag = kernel.diag(params, Xstar)
+        v = jax.scipy.linalg.solve_triangular(post.chol, kX, lower=True)
+    if full_cov:
+        Kss = kernel.matrix(params, Xstar, Xstar, same=True)
+        cov = Kss - v.T @ v
+        var = jnp.maximum(jnp.diagonal(cov), 0.0)
+    else:
+        var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 0.0)
+    sn2 = likelihood.noise_variance(lik_hypers)
+    var = var + sn2
+
+    if isinstance(likelihood, WarpedGaussian):
+        # 20-node Gauss-Hermite through g^{-1}; the reference mixes with
+        # z = mu + sigma * x_k and measures the spread around the
+        # *latent* mean (GP_Utils.cpp:1059-1077) — replicated exactly.
+        nodes, weights = gauss_hermite(20)
+        nodes = jnp.asarray(nodes, mu.dtype)
+        weights = jnp.asarray(weights, mu.dtype)
+        sig = jnp.sqrt(var)
+        Z = mu[:, None] + sig[:, None] * nodes[None, :]
+        ymax = jnp.max(post.gy)  # post-warp max, used by rbf family clamp
+        G = warping.inverse(
+            likelihood.family,
+            likelihood.warp_hypers(lik_hypers),
+            Z,
+            y_train_max=ymax,
+        )
+        mu_w = G @ weights
+        var_w = ((G - mu[:, None]) ** 2) @ weights
+        if full_cov:
+            return mu_w, var_w, None
+        return mu_w, var_w
+    if full_cov:
+        return mu, var, cov + sn2 * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return mu, var
+
+
+def predict(kernel, params, lik_hypers, X, y, Xstar, likelihood=Gaussian(),
+            jitter: float = 0.0, full_cov: bool = False):
+    """One-shot factorize + predict (the reference's test-mode flow,
+    gp_ss_ak.cpp:382-409: load hypers, rebuild alpha/chol, predict)."""
+    post = factorize(kernel, params, lik_hypers, X, y, likelihood, jitter)
+    return posterior_mean_var(kernel, params, lik_hypers, X, post, Xstar,
+                              likelihood, full_cov)

@@ -1,0 +1,121 @@
+"""Optimizers: quadratic sanity, bounds, NaN rejection, end-to-end fit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_ss_ak_tpu.inference import nlml
+from gp_ss_ak_tpu.kernels import Bias, RBF, Sum
+from gp_ss_ak_tpu.model import default_model
+from gp_ss_ak_tpu.optim import LBFGSB, SCG, fit, jax_lbfgs, make_value_and_grad
+
+RNG = np.random.default_rng(11)
+
+
+def quad_vg(A, b):
+    def vg(x):
+        r = A @ x - b
+        return 0.5 * float(r @ r), A.T @ r
+    return vg
+
+
+class TestLBFGSB:
+    def test_quadratic_unconstrained_interior(self):
+        A = np.diag([1.0, 2.0, 3.0])
+        b = np.array([1.0, 2.0, 3.0])  # solution x = [1, 1, 1], interior
+        res = LBFGSB(maxiter=100).minimize(quad_vg(A, b), np.full(3, 2.0))
+        np.testing.assert_allclose(res.x, 1.0, atol=1e-5)
+
+    def test_bounds_respected(self):
+        A = np.eye(2)
+        b = np.array([10.0, -10.0])  # unconstrained opt outside the box
+        res = LBFGSB(maxiter=100).minimize(quad_vg(A, b), np.ones(2),
+                                           lower=np.array([1e-4, 1e-4]),
+                                           upper=np.array([6.0, 6.0]))
+        np.testing.assert_allclose(res.x, [6.0, 1e-4], atol=1e-6)
+
+    def test_nan_rejection_keeps_best(self):
+        calls = [0]
+
+        def vg(x):
+            calls[0] += 1
+            if x[0] < 0.5:
+                return float("nan"), np.zeros(1)
+            return float((x[0] - 0.4) ** 2), np.array([2 * (x[0] - 0.4)])
+
+        res = LBFGSB(maxiter=50).minimize(vg, np.array([2.0]),
+                                          lower=np.array([1e-4]),
+                                          upper=np.array([6.0]))
+        assert np.isfinite(res.fun)
+        assert res.x[0] >= 0.5 - 1e-9  # never settled in the NaN region
+
+
+class TestSCG:
+    def test_quadratic(self):
+        A = np.diag([1.0, 4.0])
+        b = np.array([2.0, 4.0])  # solution [2, 1]
+        res = SCG(maxiter=200, tol=1e-12).minimize(quad_vg(A, b),
+                                                   np.array([3.0, 3.0]))
+        np.testing.assert_allclose(res.x, [2.0, 1.0], atol=1e-3)
+
+
+class TestJaxLBFGS:
+    def test_quadratic_jit(self):
+        A = jnp.diag(jnp.asarray([1.0, 2.0, 3.0]))
+        b = jnp.asarray([1.0, 2.0, 3.0])
+
+        def vg(x):
+            r = A @ x - b
+            return 0.5 * jnp.dot(r, r), A.T @ r
+
+        res = jax_lbfgs.minimize(vg, jnp.full(3, 2.0),
+                                 jnp.full(3, -10.0), jnp.full(3, 10.0),
+                                 maxiter=100)
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-5)
+
+    def test_vmappable(self):
+        # a batch of independent 1-d problems — the ensemble pattern
+        targets = jnp.asarray([0.5, 1.5, 3.0])
+
+        def solve_one(t):
+            def vg(x):
+                return jnp.sum((x - t) ** 2), 2.0 * (x - t)
+            return jax_lbfgs.minimize(vg, jnp.asarray([2.0]),
+                                      jnp.asarray([1e-4]),
+                                      jnp.asarray([6.0]), maxiter=50).x
+
+        xs = jax.vmap(solve_one)(targets)
+        np.testing.assert_allclose(np.asarray(xs).ravel(),
+                                   np.asarray(targets), atol=1e-5)
+
+
+class TestFitEndToEnd:
+    def test_1d_synthetic_improves_nlml_and_predicts(self):
+        n = 40
+        X = np.linspace(-1, 1, n).reshape(-1, 1)
+        y = np.sin(3 * X[:, 0]) + 0.05 * RNG.normal(size=n)
+        model = default_model(input_dim=1)
+        vg = make_value_and_grad(model, X, y)
+        f0, _ = vg(np.asarray(model.pack()))
+        fitted, res = fit(model, X, y, optimizer="LBFGS", iters=60)
+        assert res.fun < f0 - 1.0  # meaningful NLML improvement
+        from gp_ss_ak_tpu.inference import predict
+        mu, var = predict(fitted.kernel, fitted.kernel_params,
+                          fitted.lik_hypers, jnp.asarray(X), jnp.asarray(y),
+                          jnp.asarray(X), fitted.likelihood)
+        mse = float(np.mean((np.asarray(mu) - y) ** 2))
+        assert mse < 0.05
+        # bounds respected (Opt_pars.cpp:184-189)
+        flat = np.asarray(fitted.pack())
+        assert (flat >= 1e-4 - 1e-12).all() and (flat <= 6.0 + 1e-12).all()
+
+    def test_scg_also_improves(self):
+        n = 30
+        X = np.linspace(-1, 1, n).reshape(-1, 1)
+        y = np.sin(2 * X[:, 0])
+        model = default_model(input_dim=1)
+        vg = make_value_and_grad(model, X, y)
+        f0, _ = vg(np.asarray(model.pack()))
+        _, res = fit(model, X, y, optimizer="SCG", iters=50)
+        assert res.fun < f0
