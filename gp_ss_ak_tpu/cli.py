@@ -1,0 +1,231 @@
+"""Command-line interface mirroring the reference binary's surface.
+
+Usage (gp_ss_ak.cpp:14-63, 511-557):
+
+  python -m gp_ss_ak_tpu [-v N] [-pm N] train [-k NAME]... [-o OPT]
+         [-# ITERS] [-kn 0|1] [-mf NAME] [-lf NAME]
+         [--init-params CSV] TRAIN_FILE [MODEL_NAME]
+
+  python -m gp_ss_ak_tpu [-v N] [-pm N] test TEST_FILE MODEL_FILE
+         TRAIN_FILE [OUTPUT_FILE]
+
+Differences from the reference, by design (SURVEY.md §5):
+- the interactive stdin prompts for initial kernel/likelihood values
+  (gp_ss_ak.cpp:241-283) are replaced by --init-params / --init-lik;
+- gnuplot is replaced by matplotlib (same Observed-vs-Estimated plot
+  with a 95% band, written next to the prediction file);
+- `-kn` actually works (the reference's `bool Knoise = "true"` is
+  always true regardless of the flag, gp_ss_ak.cpp:81).
+
+Output parity: train/test print MSE and var(y) (two bare numbers at
+verbose 0, labeled at verbose > 0 — gp_ss_ak.cpp:312-325, 417-430);
+the prediction file format and sorting match gp_ss_ak.cpp:434-481.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import replace
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gp_ss_ak_tpu",
+        description="TPU-native GP engine with the GP_SS_AK capability set",
+    )
+    p.add_argument("-v", "--verboseL", type=int, default=0, dest="verbose")
+    p.add_argument("-pm", "--prepMethod", type=int, default=1, dest="prep",
+                   help="0: mean/std, 1: symmetric (default), 2: zero-one")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    tr = sub.add_parser("train", help="fit hyperparameters by "
+                        "maximizing the marginal likelihood")
+    tr.add_argument("-k", "--kernel", action="append", default=[],
+                    help="kernel name (repeatable): ExpAns (default), "
+                    "RBF, Exp, Bias, White")
+    tr.add_argument("-o", "--optimiser", default="LBFGS",
+                    help="LBFGS (default) | BFGS | SCG")
+    tr.add_argument("-#", "--iterations", type=int, default=100,
+                    dest="iters")
+    tr.add_argument("-kn", "--Knoise", type=int, default=1,
+                    help="append a Bias noise kernel (default 1)")
+    tr.add_argument("-mf", "--meanfunction", default="mean_zero")
+    tr.add_argument("-lf", "--likefunction", default="Gauss")
+    tr.add_argument("--init-params", default=None,
+                    help="comma-separated initial kernel params "
+                    "(replaces the reference's stdin prompts)")
+    tr.add_argument("--init-lik", type=float, default=None,
+                    help="initial likelihood noise variance sn2")
+    tr.add_argument("--float64", action="store_true",
+                    help="fit in float64 (CPU backends)")
+    tr.add_argument("train_file")
+    tr.add_argument("model_name", nargs="?", default="gp_model")
+
+    te = sub.add_parser("test", help="predict a test set with a "
+                        "trained model and plot the results")
+    te.add_argument("test_file")
+    te.add_argument("model_file")
+    te.add_argument("train_file")
+    te.add_argument("output_file", nargs="?", default=None)
+    te.add_argument("--no-plot", action="store_true")
+    te.add_argument("--float64", action="store_true")
+    return p
+
+
+def _dtype(args):
+    import jax
+
+    if getattr(args, "float64", False):
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    return jnp.float64 if getattr(args, "float64", False) else jnp.float32
+
+
+def cmd_train(args) -> int:
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.data import prepare, read_data, unapply_var, unapply_y
+    from gp_ss_ak_tpu.inference import predict
+    from gp_ss_ak_tpu.model import default_model, save_model
+    from gp_ss_ak_tpu.optim import fit
+
+    dtype = _dtype(args)
+    X, y = read_data(args.train_file)
+    Xs, ys, stats = prepare(X, y, args.prep)
+    stats.save(args.model_name + "_Statistics.txt")
+    if args.verbose > 0:
+        print(f"Read {X.shape[0]} points, {X.shape[1]} features")
+
+    names = args.kernel or ["ExpAns"]
+    model = default_model(input_dim=X.shape[1], kernel_names=names,
+                          knoise=bool(args.Knoise), dtype=dtype)
+    if args.init_params:
+        vals = [float(t) for t in args.init_params.split(",")]
+        if len(vals) != model.kernel.n_params:
+            print(f"--init-params needs {model.kernel.n_params} values",
+                  file=sys.stderr)
+            return 1
+        model = replace(model, kernel_params=model.kernel.unpack(
+            jnp.asarray(vals, dtype)))
+    if args.init_lik is not None:
+        model = replace(model,
+                        lik_hypers=jnp.asarray([args.init_lik], dtype))
+
+    if args.verbose > 0:
+        print(f"Optimizing {model.n_params} hyperparameters with "
+              f"{args.optimiser} ({args.iters} iters)")
+    fitted, res = fit(model, Xs, ys, optimizer=args.optimiser,
+                      iters=args.iters, verbose=max(0, args.verbose - 1))
+    if args.verbose > 0:
+        print(f"-logL: {res.trace[0]:.6f} -> {res.fun:.6f} "
+              f"({res.n_iters} iters, {res.n_evals} evals)")
+    save_model(fitted, args.model_name)
+
+    mu, var = predict(fitted.kernel, fitted.kernel_params,
+                      fitted.lik_hypers, jnp.asarray(Xs, dtype),
+                      jnp.asarray(ys, dtype), jnp.asarray(Xs, dtype),
+                      fitted.likelihood)
+    yh = unapply_y(stats, np.asarray(mu))
+    mse = float(np.mean((y - yh) ** 2))
+    var_y = float(np.mean((y - y.mean()) ** 2))
+    if args.verbose > 0:
+        print(f"Mean Square Error of training: {mse}")
+        print(f"Var MSE Train: {var_y}")
+    else:
+        print(mse)
+        print(var_y)
+    return 0
+
+
+def cmd_test(args) -> int:
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.data import (
+        Statistics,
+        apply,
+        read_data,
+        unapply_var,
+        unapply_y,
+        write_predictions,
+    )
+    from gp_ss_ak_tpu.inference import predict
+    from gp_ss_ak_tpu.model import load_model
+
+    dtype = _dtype(args)
+    model = load_model(args.model_file)
+    stats = Statistics.load(args.model_file + "_Statistics.txt")
+
+    Xt, yt = read_data(args.test_file)
+    Xtr, ytr = read_data(args.train_file)
+    if Xt.shape[1] != model.input_dim:
+        print("Incorrect dimension of input data.", file=sys.stderr)
+        return 1
+    Xts = apply(stats, Xt)
+    Xtrs, ytrs = apply(stats, Xtr, ytr)
+
+    mu, var = predict(model.kernel, model.kernel_params, model.lik_hypers,
+                      jnp.asarray(Xtrs, dtype), jnp.asarray(ytrs, dtype),
+                      jnp.asarray(Xts, dtype), model.likelihood)
+    yh = unapply_y(stats, np.asarray(mu))
+    std = unapply_var(stats, np.asarray(var))
+
+    mse = float(np.mean((yt - yh) ** 2))
+    var_y = float(np.mean((yt - yt.mean()) ** 2))
+    if args.verbose > 0:
+        print(f"Mean Square Error of testing: {mse}")
+        print(f"Var MSE Test: {var_y}")
+    else:
+        print(mse)
+        print(var_y)
+
+    out = args.output_file or (args.model_file + "_predict.txt")
+    write_predictions(out, yt, yh, std, Xt)
+    if not args.no_plot:
+        _plot(out, args.model_file, yt, yh, std)
+    return 0
+
+
+def _plot(pred_file: str, model_name: str, y, yh, std) -> None:
+    """Observed vs Estimated with a 95% band — the gnuplot replacement
+    (gp_ss_ak.cpp:482-505)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    order = np.argsort(np.asarray(y), kind="stable")
+    ys = np.asarray(y)[order]
+    yhs = np.asarray(yh)[order]
+    stds = np.asarray(std)[order]
+    xs = np.arange(1, len(ys) + 1)
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    ax.fill_between(xs, yhs - stds, yhs + stds, alpha=0.35,
+                    color="green", label="95% CI")
+    ax.plot(xs, yhs, color="red", lw=1, label="Estimated")
+    ax.plot(xs, ys, color="blue", lw=1, label="Observed")
+    ax.set_title("Observed vs Estimated")
+    ax.set_xlabel("Sample")
+    ax.set_ylabel("Grade")
+    ax.legend(loc="upper left")
+    fig.tight_layout()
+    fig.savefig(model_name + "_predict.pdf")
+    plt.close(fig)
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "train":
+        return cmd_train(args)
+    if args.command == "test":
+        return cmd_test(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

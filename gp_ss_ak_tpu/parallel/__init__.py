@@ -1,0 +1,35 @@
+"""Mesh-sharded large-N inference (distributed Gram + block Cholesky)."""
+
+from gp_ss_ak_tpu.parallel.mesh import (
+    ROW_AXIS,
+    make_mesh,
+    pad_rows,
+    replicated,
+    row_sharding,
+)
+from gp_ss_ak_tpu.parallel.nlml import (
+    make_dist_nlml_and_grad,
+    make_dist_predict,
+    shard_training_data,
+)
+from gp_ss_ak_tpu.parallel.pchol import (
+    block_cholesky_local,
+    solve_chol_local,
+    tri_solve_lower_local,
+    tri_solve_upper_local,
+)
+
+__all__ = [
+    "ROW_AXIS",
+    "make_mesh",
+    "pad_rows",
+    "row_sharding",
+    "replicated",
+    "make_dist_nlml_and_grad",
+    "make_dist_predict",
+    "shard_training_data",
+    "block_cholesky_local",
+    "solve_chol_local",
+    "tri_solve_lower_local",
+    "tri_solve_upper_local",
+]

@@ -1,0 +1,75 @@
+"""CLI end-to-end: train then test, reference-format artifacts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gp_ss_ak_tpu.cli import main
+from gp_ss_ak_tpu.data import write_data
+
+RNG = np.random.default_rng(9)
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    n, m = 80, 30
+    X = RNG.uniform(0, 100, size=(n + m, 3))
+    y = 1.0 + np.sin(X @ np.array([0.05, 0.02, 0.08])) \
+        + 0.05 * RNG.normal(size=n + m)
+    train = str(tmp_path / "train.txt")
+    test = str(tmp_path / "test.txt")
+    write_data(train, X[:n], y[:n])
+    write_data(test, X[n:], y[n:])
+    return train, test, tmp_path
+
+
+class TestCLI:
+    def test_train_then_test(self, dataset, capsys):
+        train, test, tmp = dataset
+        model = str(tmp / "m1")
+        rc = main(["-pm", "1", "train", "-k", "ExpAns", "-o", "LBFGS",
+                   "-#", "30", "--float64", train, model])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        mse_train = float(out[-2])
+        assert mse_train < 0.5
+        assert os.path.exists(model)
+        assert os.path.exists(model + "_Statistics.txt")
+
+        rc = main(["test", "--no-plot", "--float64", test, model, train])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        mse, var_y = float(out[-2]), float(out[-1])
+        assert mse < var_y  # beats predicting the mean
+        pred = model + "_predict.txt"
+        assert os.path.exists(pred)
+        first = open(pred).readline()
+        assert first.startswith("# SampleNo, Y,")
+
+    def test_wrong_dim_test_file(self, dataset, capsys):
+        train, test, tmp = dataset
+        model = str(tmp / "m2")
+        assert main(["train", "-#", "3", "--float64", train, model]) == 0
+        capsys.readouterr()
+        bad = str(tmp / "bad.txt")
+        X = RNG.normal(size=(5, 2))
+        write_data(bad, X, np.zeros(5))
+        rc = main(["test", "--no-plot", "--float64", bad, model, train])
+        assert rc == 1
+
+    def test_init_params_flag(self, dataset, capsys):
+        train, _, tmp = dataset
+        model = str(tmp / "m3")
+        vals = ",".join(["1.0"] * 9)  # 8 ExpAns + 1 Bias
+        rc = main(["train", "-#", "2", "--init-params", vals,
+                   "--init-lik", "0.05", "--float64", train, model])
+        assert rc == 0
+        capsys.readouterr()
+
+    def test_init_params_wrong_count(self, dataset, capsys):
+        train, _, tmp = dataset
+        rc = main(["train", "--init-params", "1,2", "--float64", train,
+                   str(tmp / "m4")])
+        assert rc == 1
+        capsys.readouterr()

@@ -1,0 +1,146 @@
+"""Distributed block Cholesky / NLML / prediction on a simulated
+8-device CPU mesh — the same shard_map code paths that run on a TPU
+slice (SURVEY.md §4.3)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gp_ss_ak_tpu.inference import Gaussian, nlml as dense_nlml, predict
+from gp_ss_ak_tpu.kernels import Bias, ExpAns, Sum
+from gp_ss_ak_tpu.model import default_model
+from gp_ss_ak_tpu.parallel import (
+    ROW_AXIS,
+    block_cholesky_local,
+    make_dist_nlml_and_grad,
+    make_dist_predict,
+    make_mesh,
+    shard_training_data,
+    solve_chol_local,
+    tri_solve_lower_local,
+    tri_solve_upper_local,
+)
+
+RNG = np.random.default_rng(5)
+NB = 8  # small block size for tests
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def spd_matrix(n):
+    B = RNG.normal(size=(n, n))
+    return B @ B.T + n * np.eye(n)
+
+
+def row_shard(mesh, M):
+    return jax.device_put(jnp.asarray(M), NamedSharding(mesh, P(ROW_AXIS)))
+
+
+class TestBlockCholesky:
+    def test_matches_dense(self, mesh):
+        n = 64
+        A = spd_matrix(n)
+
+        def body(A_local):
+            L, hld = block_cholesky_local(A_local, NB)
+            return L, hld
+
+        L, hld = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(ROW_AXIS, None),),
+            out_specs=(P(ROW_AXIS, None), P())))(row_shard(mesh, A))
+        L_dense = np.linalg.cholesky(A)
+        np.testing.assert_allclose(np.asarray(L), L_dense, rtol=1e-8,
+                                   atol=1e-8)
+        assert float(hld) == pytest.approx(
+            np.log(np.diag(L_dense)).sum(), rel=1e-10)
+
+    def test_solves_match_dense(self, mesh):
+        n = 64
+        A = spd_matrix(n)
+        Bm = RNG.normal(size=(n, 5))
+
+        def body(A_local, B_local):
+            L, _ = block_cholesky_local(A_local, NB)
+            Zl = tri_solve_lower_local(L, B_local, NB)
+            Zu = tri_solve_upper_local(L, Zl, NB)
+            Zc = solve_chol_local(L, B_local, NB)
+            return Zl, Zu, Zc
+
+        Zl, Zu, Zc = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None)),
+            out_specs=(P(ROW_AXIS, None),) * 3))(
+                row_shard(mesh, A), row_shard(mesh, Bm))
+        Ld = np.linalg.cholesky(A)
+        Zl_d = np.linalg.solve(Ld, Bm)
+        np.testing.assert_allclose(np.asarray(Zl), Zl_d, rtol=1e-7,
+                                   atol=1e-8)
+        Zfull = np.linalg.solve(A, Bm)
+        np.testing.assert_allclose(np.asarray(Zu), Zfull, rtol=1e-7,
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(Zc), Zfull, rtol=1e-7,
+                                   atol=1e-8)
+
+
+class TestDistNLML:
+    def make_problem(self, n=50, d=3):
+        X = RNG.normal(size=(n, d))
+        y = np.sin(X[:, 0]) + 0.1 * RNG.normal(size=n)
+        model = default_model(input_dim=d, dtype=jnp.float64)
+        return model, X.astype(np.float64), y.astype(np.float64)
+
+    def test_value_and_grad_match_dense(self, mesh):
+        model, X, y = self.make_problem()
+        Xs, ys, n, n_pad = shard_training_data(mesh, X, y, nb=NB)
+        f = make_dist_nlml_and_grad(model.kernel, model.likelihood, mesh,
+                                    n=n, nb=NB)
+        flat = model.pack()
+        val, grad = f(flat, Xs, ys)
+
+        # dense oracle through the single-device path
+        from gp_ss_ak_tpu.optim import make_value_and_grad
+        vg = make_value_and_grad(model, X, y)
+        v_dense, g_dense = vg(np.asarray(flat))
+        assert float(val) == pytest.approx(v_dense, rel=1e-8)
+        np.testing.assert_allclose(np.asarray(grad), g_dense, rtol=1e-6,
+                                   atol=1e-8)
+
+    def test_padding_invariance(self, mesh):
+        # same answer for n=50 (padded to 64) and n=64-with-junk-rows
+        model, X, y = self.make_problem(n=50)
+        Xs, ys, n, n_pad = shard_training_data(mesh, X, y, nb=NB)
+        assert n_pad == 64
+        f = make_dist_nlml_and_grad(model.kernel, model.likelihood, mesh,
+                                    n=50, nb=NB)
+        v1, _ = f(model.pack(), Xs, ys)
+        # poison the padded rows — they must not affect the result
+        Xp = np.asarray(Xs).copy()
+        Xp[50:] = 1e3
+        Xs2 = jax.device_put(Xp, NamedSharding(mesh, P(ROW_AXIS)))
+        v2, _ = f(model.pack(), Xs2, ys)
+        assert float(v1) == pytest.approx(float(v2), rel=1e-10)
+
+    def test_predict_matches_dense(self, mesh):
+        model, X, y = self.make_problem(n=40)
+        Xstar = RNG.normal(size=(7, 3))
+        Xs, ys, n, _ = shard_training_data(mesh, X, y, nb=NB)
+        fp = make_dist_predict(model.kernel, model.likelihood, mesh,
+                               n=n, nb=NB)
+        mu, var = fp(model.pack(), Xs, ys, jnp.asarray(Xstar))
+        mu_d, var_d = predict(model.kernel, model.kernel_params,
+                              model.lik_hypers, jnp.asarray(X),
+                              jnp.asarray(y), jnp.asarray(Xstar),
+                              model.likelihood)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
+                                   rtol=1e-6, atol=1e-9)
