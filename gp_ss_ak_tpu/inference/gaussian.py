@@ -53,13 +53,18 @@ def _gram(kernel, params, X, jitter: float = 0.0):
 
 
 def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
-              jitter: float = 0.0) -> Posterior:
+              jitter: float = 0.0, fused: bool = None) -> Posterior:
     """Build alpha and the Cholesky factor of A = K + sn2 I.
 
-    Wrapped in full-f32 matmul precision: XLA's blocked Cholesky and
-    triangular solves are dot_general-based, and the TPU's default
-    bf16 MXU precision destroys positive-definiteness at f32 dtypes.
+    The flagship ExpAns+Bias model routes the A build through the
+    Pallas fused distance+exp kernel on TPU (ops/fused.py); others use
+    the generic XLA Gram path. Wrapped in full-f32 matmul precision:
+    XLA's blocked Cholesky and triangular solves are dot_general-based,
+    and the TPU's default bf16 MXU precision destroys
+    positive-definiteness at f32 dtypes.
     """
+    from gp_ss_ak_tpu.ops.fused import maybe_fused_A
+
     n = X.shape[0]
     if isinstance(likelihood, WarpedGaussian):
         gy, lgpy = likelihood.effective_target(lik_hypers, y)
@@ -68,18 +73,21 @@ def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
         gy, lgpy = y, jnp.zeros_like(y)
         sn2 = likelihood.noise_variance(lik_hypers)
     with jax.default_matmul_precision("highest"):
-        K = _gram(kernel, params, X, jitter)
-        A = K + sn2 * jnp.eye(n, dtype=K.dtype)
+        A = maybe_fused_A(kernel, params, sn2, X, jitter, fused)
+        if A is None:
+            K = _gram(kernel, params, X, jitter)
+            A = K + sn2 * jnp.eye(n, dtype=K.dtype)
         L = jnp.linalg.cholesky(A)  # NaN rows on failure -> NaN objective
         alpha = jax.scipy.linalg.cho_solve((L, True), gy)
     return Posterior(alpha=alpha, chol=L, gy=gy, lgpy=lgpy)
 
 
 def nlml(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
-         jitter: float = 0.0) -> jnp.ndarray:
+         jitter: float = 0.0, fused: bool = None) -> jnp.ndarray:
     """Negative log marginal likelihood (the minimized objective; the
     reference prints it as "-logL", Opt_pars.cpp:282)."""
-    post = factorize(kernel, params, lik_hypers, X, y, likelihood, jitter)
+    post = factorize(kernel, params, lik_hypers, X, y, likelihood, jitter,
+                     fused)
     n = X.shape[0]
     half_logdet = jnp.sum(jnp.log(jnp.diagonal(post.chol)))
     fit = 0.5 * jnp.dot(post.gy, post.alpha)
@@ -137,9 +145,11 @@ def posterior_mean_var(kernel, params, lik_hypers, X, post: Posterior,
 
 
 def predict(kernel, params, lik_hypers, X, y, Xstar, likelihood=Gaussian(),
-            jitter: float = 0.0, full_cov: bool = False):
+            jitter: float = 0.0, full_cov: bool = False,
+            fused: bool = None):
     """One-shot factorize + predict (the reference's test-mode flow,
     gp_ss_ak.cpp:382-409: load hypers, rebuild alpha/chol, predict)."""
-    post = factorize(kernel, params, lik_hypers, X, y, likelihood, jitter)
+    post = factorize(kernel, params, lik_hypers, X, y, likelihood, jitter,
+                     fused)
     return posterior_mean_var(kernel, params, lik_hypers, X, post, Xstar,
                               likelihood, full_cov)
