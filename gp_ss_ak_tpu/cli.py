@@ -118,8 +118,13 @@ def cmd_train(args) -> int:
     if args.verbose > 0:
         print(f"Optimizing {model.n_params} hyperparameters with "
               f"{args.optimiser} ({args.iters} iters)")
+    from gp_ss_ak_tpu.utils import FitLogger
+
+    logger = FitLogger(verbose=max(0, args.verbose - 1),
+                       path=args.model_name + "_metrics.json")
     fitted, res = fit(model, Xs, ys, optimizer=args.optimiser,
-                      iters=args.iters, verbose=max(0, args.verbose - 1))
+                      iters=args.iters, callback=logger)
+    logger.save()
     if args.verbose > 0:
         print(f"-logL: {res.trace[0]:.6f} -> {res.fun:.6f} "
               f"({res.n_iters} iters, {res.n_evals} evals)")

@@ -1,0 +1,85 @@
+"""Serving: factor once, predict many (batched, HBM-bandwidth path).
+
+The reference's test mode rebuilds alpha/chol from scratch on every
+invocation (gp_ss_ak.cpp:382-395). The Predictor here factors the
+training posterior ONCE, keeps (alpha, L) on device, and serves
+posterior mean/variance for arbitrary batches of query points — each
+batch is one cross-Gram (fused Pallas kernel on TPU) + one triangular
+solve, both streaming at memory bandwidth for large N.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_ss_ak_tpu.inference import gaussian
+from gp_ss_ak_tpu.inference.likelihoods import Gaussian
+from gp_ss_ak_tpu.model import GPModel
+from gp_ss_ak_tpu.utils.psd import robust_cholesky
+
+
+class Predictor:
+    """Posterior server for one trained model + training set."""
+
+    def __init__(self, model: GPModel, X, y, jitter: float = 0.0,
+                 robust: bool = False, fused: bool = None):
+        self.model = model
+        dtype = jnp.result_type(model.pack())
+        self.X = jnp.asarray(X, dtype)
+        self.y = jnp.asarray(y, dtype)
+        if robust:
+            # jitter-retry factorization (utils/psd.py) for serving
+            from gp_ss_ak_tpu.ops.fused import maybe_fused_A
+
+            sn2 = model.likelihood.noise_variance(model.lik_hypers)
+            with jax.default_matmul_precision("highest"):
+                A = maybe_fused_A(model.kernel, model.kernel_params, sn2,
+                                  self.X, jitter, fused)
+                if A is None:
+                    K = model.kernel.matrix(model.kernel_params, self.X,
+                                            self.X, same=True)
+                    A = K + (sn2 + jitter) * jnp.eye(self.X.shape[0],
+                                                     dtype=dtype)
+                L, self.nugget = robust_cholesky(A)
+                alpha = jax.scipy.linalg.cho_solve((L, True), self.y)
+            self.post = gaussian.Posterior(
+                alpha=alpha, chol=L, gy=self.y,
+                lgpy=jnp.zeros_like(self.y))
+        else:
+            self.post = gaussian.factorize(
+                model.kernel, model.kernel_params, model.lik_hypers,
+                self.X, self.y, model.likelihood, jitter, fused)
+            self.nugget = jnp.zeros(())
+
+        self._predict = jax.jit(
+            lambda Xs: gaussian.posterior_mean_var(
+                model.kernel, model.kernel_params, model.lik_hypers,
+                self.X, self.post, Xs, model.likelihood))
+
+    def __call__(self, Xstar, batch_size: Optional[int] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        dtype = self.X.dtype
+        Xs = np.asarray(Xstar)
+        if batch_size is None or Xs.shape[0] <= batch_size:
+            mu, var = self._predict(jnp.asarray(Xs, dtype))
+            return np.asarray(mu), np.asarray(var)
+        mus, vars_ = [], []
+        # fixed-size batches (pad the tail) so one compiled program
+        # serves every chunk
+        m = Xs.shape[0]
+        for start in range(0, m, batch_size):
+            chunk = Xs[start : start + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(
+                    chunk[-1:], pad, axis=0)])
+            mu, var = self._predict(jnp.asarray(chunk, dtype))
+            take = batch_size - pad
+            mus.append(np.asarray(mu)[:take])
+            vars_.append(np.asarray(var)[:take])
+        return np.concatenate(mus), np.concatenate(vars_)

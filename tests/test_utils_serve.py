@@ -1,0 +1,119 @@
+"""Failure recovery, logging, profiling helpers, and the Predictor."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gp_ss_ak_tpu.inference import predict
+from gp_ss_ak_tpu.model import default_model
+from gp_ss_ak_tpu.serve import Predictor
+from gp_ss_ak_tpu.utils import (
+    FitLogger,
+    cholesky_flops,
+    gram_flops,
+    is_spd_cholesky,
+    robust_cholesky,
+    timeit_fn,
+)
+
+RNG = np.random.default_rng(53)
+
+
+class TestRobustCholesky:
+    def test_spd_passes_without_nugget(self):
+        B = RNG.normal(size=(20, 20))
+        A = jnp.asarray(B @ B.T + 20 * np.eye(20))
+        L, nug = robust_cholesky(A)
+        assert bool(is_spd_cholesky(L))
+        assert float(nug) == 0.0
+        np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(A),
+                                   rtol=1e-8)
+
+    def test_near_singular_recovers_with_nugget(self):
+        # rank-deficient PSD + tiny negative perturbation
+        v = RNG.normal(size=(30, 3))
+        A = jnp.asarray(v @ v.T - 1e-9 * np.eye(30))
+        L, nug = robust_cholesky(A)
+        assert bool(is_spd_cholesky(L))
+        assert float(nug) > 0.0
+
+    def test_hopeless_matrix_stays_nan(self):
+        A = -jnp.eye(10)  # negative definite: no reasonable nugget
+        L, _ = robust_cholesky(A, max_attempts=3)
+        assert not bool(is_spd_cholesky(L))
+
+    def test_jit_compatible(self):
+        A = jnp.eye(8) * 4.0
+        L, nug = jax.jit(robust_cholesky)(A)
+        assert bool(is_spd_cholesky(L))
+
+
+class TestFitLogger:
+    def test_records_and_saves(self, tmp_path):
+        p = str(tmp_path / "metrics.json")
+        log = FitLogger(verbose=0, path=p)
+        log(1, np.ones(3), 10.0)
+        log(2, np.ones(3) * 2, 8.5)
+        log.save()
+        data = json.load(open(p))
+        assert data["summary"]["iters"] == 2
+        assert data["summary"]["nlml_final"] == 8.5
+        assert len(data["trace"]) == 2
+        assert data["trace"][0]["params"] == [1.0, 1.0, 1.0]
+
+
+class TestProfilingHelpers:
+    def test_flop_counts(self):
+        assert gram_flops(10, 10, 3) == 2 * 10 * 10 * 3 + 8 * 100
+        assert cholesky_flops(6) == 72
+
+    def test_timeit(self):
+        f = jax.jit(lambda x: x * 2)
+        dt = timeit_fn(f, jnp.ones(8), reps=3)
+        assert dt > 0
+
+
+class TestPredictor:
+    def make(self, n=50):
+        X = RNG.normal(size=(n, 3))
+        y = np.sin(X[:, 0])
+        model = default_model(input_dim=3)
+        return model, X, y
+
+    def test_matches_one_shot_predict(self):
+        model, X, y = self.make()
+        Xs = RNG.normal(size=(12, 3))
+        server = Predictor(model, X, y)
+        mu_s, var_s = server(Xs)
+        mu_d, var_d = predict(model.kernel, model.kernel_params,
+                              model.lik_hypers, jnp.asarray(X),
+                              jnp.asarray(y), jnp.asarray(Xs),
+                              model.likelihood)
+        np.testing.assert_allclose(mu_s, np.asarray(mu_d), rtol=1e-8)
+        np.testing.assert_allclose(var_s, np.asarray(var_d), rtol=1e-8)
+
+    def test_batched_equals_unbatched(self):
+        model, X, y = self.make()
+        Xs = RNG.normal(size=(53, 3))  # deliberately not a multiple
+        server = Predictor(model, X, y)
+        mu_a, var_a = server(Xs)
+        mu_b, var_b = server(Xs, batch_size=16)
+        np.testing.assert_allclose(mu_b, mu_a, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(var_b, var_a, rtol=1e-4, atol=1e-8)
+
+    def test_robust_mode_on_degenerate_duplicates(self):
+        model, X, y = self.make(n=30)
+        X[15:] = X[:15]  # exact duplicates + near-zero noise
+        y[15:] = y[:15]
+        import jax.numpy as jnp
+        from dataclasses import replace
+
+        model = replace(model, lik_hypers=jnp.asarray([1e-12]))
+        server = Predictor(model, X, y, robust=True)
+        mu, var = server(X[:5])
+        assert np.isfinite(mu).all()
+        assert np.isfinite(var).all()
