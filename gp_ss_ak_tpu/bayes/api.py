@@ -39,16 +39,26 @@ def sample_hyperposterior(
     box: Optional[BoxTransform] = None,
     log_prior=None,
     mesh=None,
+    nlml_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (samples, accept_stats): samples has shape
-    (n_chains, n_samples, n_params) in CONSTRAINED theta space."""
+    (n_chains, n_samples, n_params) in CONSTRAINED theta space.
+
+    `nlml_fn` (flat_theta -> scalar NLML) overrides the dense
+    objective — pass a closure over parallel.make_dist_nlml_and_grad's
+    value to run every leapfrog's O(N^3) on the sharded pipeline
+    (chains then run sequentially; chain-parallelism and
+    data-parallelism trade off against device memory).
+    """
     dtype = jnp.result_type(model.pack())
     Xd = jnp.asarray(X, dtype)
     yd = jnp.asarray(y, dtype)
     p = model.n_params
     box = box or default_box(p, dtype)
-    f = flat_nlml_fn(model, Xd, yd)
-    log_post = make_log_posterior(lambda t: f(t, Xd, yd), box, log_prior)
+    if nlml_fn is None:
+        f = flat_nlml_fn(model, Xd, yd)
+        nlml_fn = lambda t: f(t, Xd, yd)  # noqa: E731
+    log_post = make_log_posterior(nlml_fn, box, log_prior)
 
     z_map = box.inverse(model.pack())
     keys = jax.random.split(key, n_chains + 1)

@@ -47,7 +47,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="kernel name (repeatable): ExpAns (default), "
                     "RBF, Exp, Bias, White")
     tr.add_argument("-o", "--optimiser", default="LBFGS",
-                    help="LBFGS (default) | BFGS | SCG")
+                    help="LBFGS (default) | BFGS | SCG | JIT "
+                    "(whole fit in one on-device program; no "
+                    "per-iteration logging)")
     tr.add_argument("-#", "--iterations", type=int, default=100,
                     dest="iters")
     tr.add_argument("-kn", "--Knoise", type=int, default=1,

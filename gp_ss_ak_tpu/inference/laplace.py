@@ -117,6 +117,32 @@ def fit_latent(K: jnp.ndarray, y: jnp.ndarray, log_prob: Callable,
     return state.alpha, state.f, state.psi
 
 
+def predict_latent(kernel, params, X, y, log_prob: Callable, Xstar,
+                   mean: jnp.ndarray = None, maxit: int = 20):
+    """Laplace posterior over latents at Xstar: (mu, var).
+
+    GPML predLaplace structure (mirrored from the reference's
+    posteriorMeanVar shape, GP_Utils.cpp:943-1004): mu = kX^T alpha_hat
+    with alpha_hat = grad lp(f_hat); var via the whitened B-solve.
+    Observation-level moments for non-Gaussian likelihoods are the
+    caller's quadrature (inference/quadrature.py has the nodes).
+    """
+    n = X.shape[0]
+    K = kernel.matrix(params, X, X, same=True)
+    alpha, f, _ = fit_latent(K, y, log_prob, mean, maxit)
+    _, dlp, d2lp = _derivs(log_prob, y, f)
+    W = jnp.maximum(-d2lp, 0.0)
+    sw = jnp.sqrt(W)
+    B = jnp.eye(n, dtype=K.dtype) + (sw[:, None] * sw[None, :]) * K
+    L = jnp.linalg.cholesky(B)
+    kX = kernel.matrix(params, X, Xstar, same=False)
+    mu = kX.T @ dlp
+    v = jax.scipy.linalg.solve_triangular(L, sw[:, None] * kX, lower=True)
+    kdiag = kernel.diag(params, Xstar)
+    var = jnp.maximum(kdiag - jnp.sum(v * v, axis=0), 0.0)
+    return mu, var
+
+
 def nlml(K: jnp.ndarray, y: jnp.ndarray, log_prob: Callable,
          mean: jnp.ndarray = None, maxit: int = 20) -> jnp.ndarray:
     """Laplace-approximate NLML: psi(alpha_hat) + 1/2 log det B

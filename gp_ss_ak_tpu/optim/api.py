@@ -21,6 +21,7 @@ import numpy as np
 
 from gp_ss_ak_tpu.inference import gaussian
 from gp_ss_ak_tpu.model import GPModel
+from gp_ss_ak_tpu.optim import jax_lbfgs
 from gp_ss_ak_tpu.optim.lbfgsb import (
     DEFAULT_LOWER,
     DEFAULT_UPPER,
@@ -72,24 +73,63 @@ def fit(
     jitter: float = 0.0,
     verbose: int = 0,
     callback=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+    resume: bool = True,
 ) -> Tuple[GPModel, OptResult]:
-    """Maximize the marginal likelihood over the box [1e-4, 6]^p."""
+    """Maximize the marginal likelihood over the box [1e-4, 6]^p.
+
+    With `checkpoint_path`, the flat hyper vector is saved every
+    `checkpoint_every` iterations and (if `resume`) restored as the
+    starting point on the next call — the reference's hypers-only
+    checkpoint philosophy applied mid-run (utils/checkpoint.py).
+    """
     x0 = np.asarray(model.pack(), np.float64)
+    if checkpoint_path:
+        from gp_ss_ak_tpu.utils.checkpoint import (
+            CheckpointCallback,
+            load_fit_checkpoint,
+        )
+
+        if resume:
+            ck = load_fit_checkpoint(checkpoint_path)
+            if ck is not None and ck["x"].shape == x0.shape:
+                x0 = ck["x"]
+        callback = CheckpointCallback(checkpoint_path, checkpoint_every,
+                                      inner=callback)
     p = x0.shape[0]
     lb = np.full(p, DEFAULT_LOWER) if lower is None else np.asarray(lower)
     ub = np.full(p, DEFAULT_UPPER) if upper is None else np.asarray(upper)
     vgrad = make_value_and_grad(model, X, y, jitter)
 
     name = optimizer.upper()
-    if name in ("LBFGS", "BFGS", "LBFGSB", "L-BFGS-B"):
-        opt = LBFGSB(maxiter=iters, verbose=verbose,
-                     memory=(p if name == "BFGS" else 6))
-    elif name == "SCG":
-        opt = SCG(maxiter=iters, verbose=verbose)
-    else:
-        raise ValueError(f"Unrecognised optimiser type: {optimizer}")
+    if name in ("JIT", "LBFGS-JIT", "DEVICE"):
+        # whole fit compiled into ONE device program (optim/jax_lbfgs):
+        # no host<->device round-trip per evaluation — the fast path
+        # when dispatch latency is non-trivial (remote TPU tunnels,
+        # many small fits)
+        import jax
 
-    res = opt.minimize(vgrad, x0, lb, ub, callback=callback)
+        dtype = jnp.result_type(model.pack())
+        Xd = jnp.asarray(X, dtype)
+        yd = jnp.asarray(y, dtype)
+        fobj = flat_nlml_fn(model, Xd, yd, jitter)
+        vg = jax.value_and_grad(lambda flat: fobj(flat, Xd, yd))
+        jres = jax_lbfgs.minimize(vg, jnp.asarray(x0, dtype),
+                                  jnp.asarray(lb, dtype),
+                                  jnp.asarray(ub, dtype), maxiter=iters)
+        res = OptResult(np.asarray(jres.x, np.float64),
+                        float(jres.fun), int(jres.n_iters), -1,
+                        bool(jres.converged), [float(jres.fun)])
+    else:
+        if name in ("LBFGS", "BFGS", "LBFGSB", "L-BFGS-B"):
+            opt = LBFGSB(maxiter=iters, verbose=verbose,
+                         memory=(p if name == "BFGS" else 6))
+        elif name == "SCG":
+            opt = SCG(maxiter=iters, verbose=verbose)
+        else:
+            raise ValueError(f"Unrecognised optimiser type: {optimizer}")
+        res = opt.minimize(vgrad, x0, lb, ub, callback=callback)
     fitted = model.unpack(jnp.asarray(res.x, jnp.result_type(model.pack())))
     fitted = replace(fitted, num_data=int(np.shape(X)[0]),
                      input_dim=int(np.shape(X)[1]))

@@ -111,28 +111,20 @@ class LBFGSB:
                 Y.clear()
                 d = -g
 
-            # backtracking Armijo on the projected iterate
-            t = 1.0
-            accepted = False
-            f_new, g_new, x_new = f, g, x
-            for _ in range(self.max_backtracks):
-                cand = np.clip(x + t * d, lb, ub)
-                if np.allclose(cand, x):
-                    break
-                fc, gc = fg(cand)
-                if np.isfinite(fc) and fc <= f + self.armijo_c1 * np.dot(
-                        g, cand - x):
-                    f_new, g_new, x_new = fc, gc, cand
-                    accepted = True
-                    break
-                if np.isfinite(fc) and fc < f:  # weak acceptance fallback
-                    f_new, g_new, x_new = fc, gc, cand
-                    accepted = True
-                    break
-                t *= 0.5
+            t0 = 1.0 if S else min(1.0, 1.0 / max(
+                1e-12, float(np.max(np.abs(g)))))
+            accepted, x_new, f_new, g_new = self._line_search(
+                fg, x, f, g, d, lb, ub, t0)
             if not accepted:
-                converged = True  # no progress possible along d
-                break
+                if S:
+                    # quasi-Newton direction failed — retry steepest
+                    S.clear()
+                    Y.clear()
+                    accepted, x_new, f_new, g_new = self._line_search(
+                        fg, x, f, g, -g, lb, ub)
+                if not accepted:
+                    converged = True  # no progress possible
+                    break
 
             s = x_new - x
             yv = g_new - g
@@ -159,6 +151,45 @@ class LBFGSB:
                 break
 
         return OptResult(best_x, best_f, it, n_evals[0], converged, trace)
+
+    def _line_search(self, fg, x, f, g, d, lb, ub, t0=1.0):
+        """Projected line search with cubic/quadratic interpolation.
+
+        phi(t) = f(clip(x + t d)). Strategy: try t=1 (quasi-Newton unit
+        step); on an Armijo failure interpolate the next trial from the
+        (phi(0), phi'(0), phi(t)) model instead of blind halving; NaN
+        objectives (failed Cholesky) shrink geometrically — the
+        reference's rejection protocol (Opt_pars.cpp:748-752). Accepts
+        the first Armijo point (curvature is handled by the pair-skip
+        test in the caller, cf. damped L-BFGS)."""
+        dg0 = float(np.dot(g, d))
+        t = t0
+        t_prev, f_prev = 0.0, f
+        best = None
+        for _ in range(self.max_backtracks):
+            cand = np.clip(x + t * d, lb, ub)
+            if np.max(np.abs(cand - x)) == 0.0:
+                break
+            fc, gc = fg(cand)
+            if not np.isfinite(fc):
+                t *= 0.25  # NaN region: back out fast
+                continue
+            armijo = fc <= f + self.armijo_c1 * np.dot(g, cand - x)
+            if armijo:
+                return True, cand, fc, gc
+            if best is None or fc < best[1]:
+                best = (cand, fc, gc)
+            # cubic-ish safeguarded interpolation for the next trial
+            denom = 2.0 * (fc - f - dg0 * t)
+            if denom > 0:
+                t_new = -dg0 * t * t / denom
+            else:
+                t_new = 0.5 * t
+            t_prev, f_prev = t, fc
+            t = float(np.clip(t_new, 0.1 * t, 0.5 * t))
+        if best is not None and best[1] < f:
+            return True, best[0], best[1], best[2]
+        return False, x, f, g
 
     @staticmethod
     def _two_loop(g: np.ndarray, S: list, Y: list) -> np.ndarray:

@@ -7,6 +7,7 @@ from gp_ss_ak_tpu.parallel.mesh import (
     replicated,
     row_sharding,
 )
+from gp_ss_ak_tpu.parallel.fit import fit_distributed
 from gp_ss_ak_tpu.parallel.nlml import (
     make_dist_nlml_and_grad,
     make_dist_predict,
@@ -25,6 +26,7 @@ __all__ = [
     "pad_rows",
     "row_sharding",
     "replicated",
+    "fit_distributed",
     "make_dist_nlml_and_grad",
     "make_dist_predict",
     "shard_training_data",

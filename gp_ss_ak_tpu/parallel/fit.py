@@ -1,0 +1,70 @@
+"""Large-N training driver: host L-BFGS over the distributed NLML.
+
+The same optimizer contract as optim.fit (box [1e-4, 6], NaN
+rejection, best-so-far) with the objective+gradient evaluated by the
+mesh-sharded pipeline — each evaluation is one distributed Gram build
++ block Cholesky + QW-contraction gradient across all devices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gp_ss_ak_tpu.model import GPModel
+from gp_ss_ak_tpu.optim.lbfgsb import (
+    DEFAULT_LOWER,
+    DEFAULT_UPPER,
+    LBFGSB,
+    OptResult,
+)
+from gp_ss_ak_tpu.optim.scg import SCG
+from gp_ss_ak_tpu.parallel.nlml import (
+    make_dist_nlml_and_grad,
+    shard_training_data,
+)
+
+
+def fit_distributed(
+    model: GPModel,
+    X,
+    y,
+    mesh,
+    nb: int = 256,
+    optimizer: str = "LBFGS",
+    iters: int = 100,
+    lower: Optional[np.ndarray] = None,
+    upper: Optional[np.ndarray] = None,
+    verbose: int = 0,
+    callback=None,
+) -> Tuple[GPModel, OptResult]:
+    dtype = jnp.result_type(model.pack())
+    Xs, ys, n, _ = shard_training_data(
+        mesh, np.asarray(X, dtype), np.asarray(y, dtype), nb=nb)
+    nlml_grad = make_dist_nlml_and_grad(model.kernel, model.likelihood,
+                                        mesh, n=n, nb=nb)
+
+    def value_and_grad(flat_np):
+        v, g = nlml_grad(jnp.asarray(flat_np, dtype), Xs, ys)
+        return float(v), np.asarray(g, np.float64)
+
+    x0 = np.asarray(model.pack(), np.float64)
+    p = x0.shape[0]
+    lb = np.full(p, DEFAULT_LOWER) if lower is None else np.asarray(lower)
+    ub = np.full(p, DEFAULT_UPPER) if upper is None else np.asarray(upper)
+    name = optimizer.upper()
+    if name in ("LBFGS", "BFGS", "LBFGSB", "L-BFGS-B"):
+        opt = LBFGSB(maxiter=iters, verbose=verbose,
+                     memory=(p if name == "BFGS" else 6))
+    elif name == "SCG":
+        opt = SCG(maxiter=iters, verbose=verbose)
+    else:
+        raise ValueError(f"Unrecognised optimiser type: {optimizer}")
+    res = opt.minimize(value_and_grad, x0, lb, ub, callback=callback)
+    fitted = model.unpack(jnp.asarray(res.x, dtype))
+    fitted = replace(fitted, num_data=int(np.shape(X)[0]),
+                     input_dim=int(np.shape(X)[1]))
+    return fitted, res

@@ -169,3 +169,42 @@ class TestWarping:
         mu, var = predict(kern, params, lh_w, X, y, Xs, likelihood=wlik)
         assert np.isfinite(np.asarray(mu)).all()
         assert (np.asarray(var) >= 0).all()
+
+
+class TestLaplacePredict:
+    def test_matches_exact_for_gaussian(self):
+        kern, params, lh, X, y = make_problem(n=12)
+        sn2 = float(lh[0])
+
+        def log_prob(yy, ff):
+            return -((yy - ff) ** 2) / (2 * sn2) - 0.5 * jnp.log(
+                2 * jnp.pi * sn2)
+
+        Xs = X[:5]
+        mu_l, var_l = laplace.predict_latent(kern, params, X, y,
+                                             log_prob, Xs)
+        mu_e, var_e = predict(kern, params, lh, X, y, Xs)
+        np.testing.assert_allclose(np.asarray(mu_l), np.asarray(mu_e),
+                                   rtol=1e-5, atol=1e-7)
+        # exact path adds observation noise sn2; latent var excludes it
+        np.testing.assert_allclose(np.asarray(var_l) + sn2,
+                                   np.asarray(var_e), rtol=1e-4,
+                                   atol=1e-6)
+
+
+class TestWarpedTraining:
+    def test_fitting_warped_model_improves_nlml(self):
+        # the reference EXITS on WarpGauss gradients (GP_Utils.cpp:865-869);
+        # jax.grad makes warped-likelihood training just work
+        kern, params, _, X, y = make_problem(n=16)
+        wlik = WarpedGaussian(family=warping.TANH1, n_triplets=1)
+        lh0 = jnp.asarray([0.1, 0.1, 0.1, 0.5 * math.log(0.05)])
+
+        def obj(lh):
+            return nlml(kern, params, lh, X, y, likelihood=wlik)
+
+        g = jax.grad(obj)(lh0)
+        assert np.isfinite(np.asarray(g)).all()
+        # one gradient step improves the objective
+        lh1 = lh0 - 0.01 * g
+        assert float(obj(lh1)) < float(obj(lh0))

@@ -119,3 +119,49 @@ class TestFitEndToEnd:
         f0, _ = vg(np.asarray(model.pack()))
         _, res = fit(model, X, y, optimizer="SCG", iters=50)
         assert res.fun < f0
+
+
+class TestDistributedFit:
+    def test_fit_distributed_matches_quality(self):
+        from gp_ss_ak_tpu.parallel import fit_distributed, make_mesh
+
+        n = 48
+        X = np.linspace(-1, 1, n).reshape(-1, 1)
+        y = np.sin(3 * X[:, 0])
+        model = default_model(input_dim=1)
+        mesh = make_mesh(8)
+        fitted, res = fit_distributed(model, X, y, mesh, nb=8, iters=30)
+        _, res_dense = fit(model, X, y, iters=30)
+        assert res.fun < res_dense.fun + 5.0
+        assert np.isfinite(res.fun)
+
+
+class TestCheckpointing:
+    def test_fit_checkpoint_and_resume(self, tmp_path):
+        n = 30
+        X = np.linspace(-1, 1, n).reshape(-1, 1)
+        y = np.sin(2 * X[:, 0])
+        model = default_model(input_dim=1)
+        ck = str(tmp_path / "ck")
+        _, res1 = fit(model, X, y, iters=5, checkpoint_path=ck,
+                      checkpoint_every=1)
+        from gp_ss_ak_tpu.utils.checkpoint import load_fit_checkpoint
+        saved = load_fit_checkpoint(ck)
+        assert saved is not None and saved["iteration"] >= 1
+        # resume continues from the checkpoint, not the default init
+        _, res2 = fit(model, X, y, iters=5, checkpoint_path=ck)
+        assert res2.trace[0] <= res1.trace[0] + 1e-6
+
+
+class TestDeviceFit:
+    def test_jit_engine_matches_host_quality(self):
+        n = 40
+        X = np.linspace(-1, 1, n).reshape(-1, 1)
+        y = np.sin(3 * X[:, 0])
+        model = default_model(input_dim=1)
+        _, r_host = fit(model, X, y, iters=40)
+        _, r_dev = fit(model, X, y, optimizer="jit", iters=40)
+        assert np.isfinite(r_dev.fun)
+        assert r_dev.fun < r_host.fun + 5.0
+        flat = np.asarray(r_dev.x)
+        assert (flat >= 1e-4 - 1e-9).all() and (flat <= 6.0 + 1e-9).all()
