@@ -105,6 +105,22 @@ def cmd_train(args) -> int:
     names = args.kernel or ["ExpAns"]
     model = default_model(input_dim=X.shape[1], kernel_names=names,
                           knoise=bool(args.Knoise), dtype=dtype)
+    lf = args.likefunction
+    if lf != "Gauss":
+        # "WarpGauss[:family[:m]]" — the reference wires only Gauss in
+        # its CLI (anything else leaves likeLtype=-1, gp_ss_ak.cpp:192)
+        # and exits on WarpGauss gradients; here it trains end-to-end.
+        from gp_ss_ak_tpu.inference import WarpedGaussian
+
+        parts = lf.split(":")
+        if parts[0] not in ("WarpGauss", "warpgauss"):
+            print(f"Unknown likelihood function: {lf}", file=sys.stderr)
+            return 1
+        family = parts[1] if len(parts) > 1 else "tanh1"
+        m = int(parts[2]) if len(parts) > 2 else 1
+        wlik = WarpedGaussian(family=family, n_triplets=m)
+        model = replace(model, likelihood=wlik,
+                        lik_hypers=jnp.asarray(wlik.default_hypers(dtype)))
     if args.init_params:
         vals = [float(t) for t in args.init_params.split(",")]
         if len(vals) != model.kernel.n_params:
