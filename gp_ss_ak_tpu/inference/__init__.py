@@ -1,6 +1,6 @@
 """Inference: exact (warped-)Gaussian GP regression + generic Laplace."""
 
-from gp_ss_ak_tpu.inference import laplace, likelihoods, quadrature, warping
+from gp_ss_ak_tpu.inference import laplace, likelihoods, quadrature, sgpr, warping
 from gp_ss_ak_tpu.inference.gaussian import (
     Posterior,
     factorize,
@@ -28,6 +28,7 @@ __all__ = [
     "LIK_GAUSSIAN",
     "LIK_WARPGAUSS",
     "laplace",
+    "sgpr",
     "likelihoods",
     "warping",
     "quadrature",

@@ -1,0 +1,107 @@
+"""Sparse GP regression (Titsias variational inducing points).
+
+Capability beyond the reference: the exact engine scales to large N
+by sharding the N x N matrix over a mesh (gp_ss_ak_tpu.parallel); this
+module is the complementary SINGLE-CHIP route — O(n m^2) time and
+O(n m) memory for m inducing points, all dense MXU matmuls, vmap- and
+shard-friendly (the n axis of Kmn can be row-sharded with a psum over
+the two n-reductions).
+
+Collapsed evidence lower bound (Titsias 2009):
+
+  L = chol(Kmm + jitter I)
+  A = L^-1 Kmn / sigma                      (m, n)
+  B = I + A A^T,  LB = chol(B)
+  c = LB^-1 A y / sigma
+  ELBO = -n/2 log(2 pi sigma^2) - sum log diag LB
+         - ||y||^2/(2 sigma^2) + ||c||^2 / 2
+         - (sum kdiag(X) - tr(A A^T) sigma^2 ... ) / (2 sigma^2)
+
+with the trace regularizer t = (sum_i k(x_i,x_i) - ||L^-1 Kmn||_F^2).
+Gradients via jax.grad; inducing locations Z are free parameters and
+can be optimized jointly with the kernel hypers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class SGPRState(NamedTuple):
+    L: jnp.ndarray    # chol(Kmm)
+    LB: jnp.ndarray   # chol(I + A A^T)
+    A: jnp.ndarray    # whitened cross-cov (m, n)
+    c: jnp.ndarray    # (m,)
+
+
+def _factors(kernel, params, sn2, X, y, Z, jitter):
+    m = Z.shape[0]
+    with jax.default_matmul_precision("highest"):
+        Kmm = kernel.matrix(params, Z, Z, same=True)
+        Kmm = Kmm + jitter * jnp.eye(m, dtype=Kmm.dtype)
+        Kmn = kernel.matrix(params, Z, X, same=False)
+        L = jnp.linalg.cholesky(Kmm)
+        sigma = jnp.sqrt(sn2)
+        A = jax.scipy.linalg.solve_triangular(L, Kmn, lower=True) / sigma
+        B = jnp.eye(m, dtype=A.dtype) + jnp.matmul(A, A.T, precision=_PREC)
+        LB = jnp.linalg.cholesky(B)
+        Ay = A @ y
+        c = jax.scipy.linalg.solve_triangular(LB, Ay, lower=True) / sigma
+    return SGPRState(L=L, LB=LB, A=A, c=c)
+
+
+def elbo(kernel, params, lik_hypers, X, y, Z,
+         jitter: float = 1e-6) -> jnp.ndarray:
+    """The collapsed bound (to MAXIMIZE); `neg_elbo` is the objective
+    for the box-constrained optimizers."""
+    n = X.shape[0]
+    sn2 = lik_hypers[0]
+    st = _factors(kernel, params, sn2, X, y, Z, jitter)
+    kdiag_sum = jnp.sum(kernel.diag(params, X))
+    trace_term = kdiag_sum / sn2 - jnp.sum(st.A * st.A)
+    bound = (
+        -0.5 * n * jnp.log(2.0 * math.pi * sn2)
+        - jnp.sum(jnp.log(jnp.diagonal(st.LB)))
+        - 0.5 * jnp.dot(y, y) / sn2
+        + 0.5 * jnp.dot(st.c, st.c)
+        - 0.5 * trace_term
+    )
+    return bound
+
+
+def neg_elbo(kernel, params, lik_hypers, X, y, Z, jitter: float = 1e-6):
+    return -elbo(kernel, params, lik_hypers, X, y, Z, jitter)
+
+
+def predict(kernel, params, lik_hypers, X, y, Z, Xstar,
+            jitter: float = 1e-6, with_noise: bool = True):
+    """Predictive mean/variance of the collapsed variational posterior."""
+    sn2 = lik_hypers[0]
+    st = _factors(kernel, params, sn2, X, y, Z, jitter)
+    with jax.default_matmul_precision("highest"):
+        Kms = kernel.matrix(params, Z, Xstar, same=False)   # (m, s)
+        tmp1 = jax.scipy.linalg.solve_triangular(st.L, Kms, lower=True)
+        tmp2 = jax.scipy.linalg.solve_triangular(st.LB, tmp1, lower=True)
+        mu = tmp2.T @ st.c
+        kdiag = kernel.diag(params, Xstar)
+        var = (kdiag
+               - jnp.sum(tmp1 * tmp1, axis=0)
+               + jnp.sum(tmp2 * tmp2, axis=0))
+        var = jnp.maximum(var, 0.0)
+    if with_noise:
+        var = var + sn2
+    return mu, var
+
+
+def init_inducing(X, m: int, seed: int = 0) -> jnp.ndarray:
+    """m inducing locations sampled without replacement from X."""
+    n = X.shape[0]
+    idx = jax.random.choice(jax.random.PRNGKey(seed), n,
+                            shape=(min(m, n),), replace=False)
+    return jnp.asarray(X)[idx]
