@@ -19,7 +19,6 @@ Bayesian hyperposteriors. Design constraints that shaped this module:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -17,7 +17,6 @@ otherwise.
 
 from __future__ import annotations
 
-import io
 from typing import Tuple
 
 import numpy as np

@@ -26,7 +26,6 @@ train and reloaded on test (Control.cpp:151-163, 187-194).
 
 from __future__ import annotations
 
-import io as _io
 from dataclasses import dataclass
 from typing import Tuple
 

@@ -28,7 +28,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from gp_ss_ak_tpu.inference import warping
 from gp_ss_ak_tpu.inference.likelihoods import Gaussian, WarpedGaussian

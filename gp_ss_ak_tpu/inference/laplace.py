@@ -23,7 +23,6 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, NamedTuple
 
 import jax

@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Optional
-
 import jax.numpy as jnp
 
 from gp_ss_ak_tpu.inference import warping

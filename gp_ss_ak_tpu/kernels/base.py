@@ -14,7 +14,7 @@ files round-trip against reference-format files.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 

@@ -19,11 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gp_ss_ak_tpu.inference.likelihoods import (
-    LIK_GAUSSIAN,
     LIK_WARPGAUSS,
     Gaussian,
     WarpedGaussian,
-    make_likelihood,
 )
 from gp_ss_ak_tpu.kernels import Kernel, Sum, make_kernel
 

@@ -21,7 +21,6 @@ kernel code runs in unit tests on CPU.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

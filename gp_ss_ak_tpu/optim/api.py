@@ -12,7 +12,6 @@ same fixed point).
 from __future__ import annotations
 
 from dataclasses import replace
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

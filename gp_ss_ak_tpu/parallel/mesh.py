@@ -8,7 +8,7 @@ kernel matrix is row-sharded over it and all collectives ride ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -26,8 +26,7 @@ zero y), which leave logdet/solves unchanged (parallel/mesh.pad_rows).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

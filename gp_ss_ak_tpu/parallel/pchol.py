@@ -27,9 +27,6 @@ positive-definiteness — see kernels/distance.py).
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

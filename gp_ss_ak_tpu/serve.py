@@ -10,7 +10,6 @@ solve, both streaming at memory bandwidth for large N.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -18,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gp_ss_ak_tpu.inference import gaussian
-from gp_ss_ak_tpu.inference.likelihoods import Gaussian
 from gp_ss_ak_tpu.model import GPModel
 from gp_ss_ak_tpu.utils.psd import robust_cholesky
 

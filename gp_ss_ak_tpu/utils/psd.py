@@ -12,7 +12,6 @@ hard NaN is worse than a slightly-regularized posterior.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
