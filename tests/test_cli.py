@@ -73,3 +73,27 @@ class TestCLI:
                    str(tmp / "m4")])
         assert rc == 1
         capsys.readouterr()
+
+
+class TestCLI4D:
+    def test_train_test_with_rock_type_dimension(self, tmp_path, capsys):
+        # 4th input column = rock type (the reference's 4-D ExpAns path,
+        # Kernel.cpp:1411-1424); symmetric standardization shares the
+        # global min/max over the first 3 columns only
+        n, m = 60, 20
+        X = RNG.uniform(0, 50, size=(n + m, 4))
+        X[:, 3] = RNG.integers(0, 3, size=n + m)  # categorical-ish
+        y = np.sin(X[:, 0] * 0.1) + 0.3 * X[:, 3] + \
+            0.05 * RNG.normal(size=n + m)
+        train = str(tmp_path / "train4.txt")
+        test = str(tmp_path / "test4.txt")
+        write_data(train, X[:n], y[:n])
+        write_data(test, X[n:], y[n:])
+        model = str(tmp_path / "m4d")
+        assert main(["train", "-#", "25", "--float64", train, model]) == 0
+        capsys.readouterr()
+        assert main(["test", "--no-plot", "--float64", test, model,
+                     train]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        mse, var_y = float(out[-2]), float(out[-1])
+        assert mse < var_y

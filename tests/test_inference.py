@@ -208,3 +208,38 @@ class TestWarpedTraining:
         # one gradient step improves the objective
         lh1 = lh0 - 0.01 * g
         assert float(obj(lh1)) < float(obj(lh0))
+
+
+class TestQWGradMode:
+    def test_values_and_grads_match_autodiff(self):
+        kern, params, lh, X, y = make_problem(n=14)
+        flat0 = np.concatenate([np.asarray(kern.pack(params)),
+                                np.asarray(lh)])
+        flat0 = np.abs(flat0 * (1 + 0.15 * RNG.normal(size=flat0.shape))) \
+            + 0.05
+
+        def obj(flat, mode):
+            kp = kern.unpack(flat[:-1])
+            return nlml(kern, kp, flat[-1:], X, y, grad_mode=mode)
+
+        v_a = float(obj(jnp.asarray(flat0), "autodiff"))
+        v_q = float(obj(jnp.asarray(flat0), "qw"))
+        assert v_a == pytest.approx(v_q, rel=1e-10)
+        g_a = np.asarray(jax.grad(lambda f: obj(f, "autodiff"))(
+            jnp.asarray(flat0)))
+        g_q = np.asarray(jax.grad(lambda f: obj(f, "qw"))(
+            jnp.asarray(flat0)))
+        np.testing.assert_allclose(g_q, g_a, rtol=1e-7, atol=1e-10)
+
+    def test_qw_with_warped_likelihood(self):
+        kern, params, _, X, y = make_problem(n=12)
+        wlik = WarpedGaussian(family=warping.TANH1, n_triplets=1)
+        lh = jnp.asarray([0.2, 0.1, 0.0, 0.5 * math.log(0.05)])
+
+        def obj(lhv, mode):
+            return nlml(kern, params, lhv, X, y, likelihood=wlik,
+                        grad_mode=mode)
+
+        g_a = np.asarray(jax.grad(lambda v: obj(v, "autodiff"))(lh))
+        g_q = np.asarray(jax.grad(lambda v: obj(v, "qw"))(lh))
+        np.testing.assert_allclose(g_q, g_a, rtol=1e-6, atol=1e-9)
