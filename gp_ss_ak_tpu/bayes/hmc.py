@@ -88,8 +88,7 @@ def _hmc_transition(log_post_grad, z, key, eps, n_leapfrog, inv_mass):
     lp1, _ = log_post_grad(z1)
     H1 = -lp1 + _kinetic(r1, inv_mass)
     dH = H0 - H1
-    accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 0.0) * 0.0
-                                           + jnp.minimum(dH, 50.0)))
+    accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 50.0)))
     accept_prob = jnp.where(jnp.isnan(accept_prob), 0.0, accept_prob)
     u = jax.random.uniform(k_acc)
     accept = u < accept_prob

@@ -42,6 +42,7 @@ class Posterior(NamedTuple):
     chol: jnp.ndarray   # (n, n) lower Cholesky of K + sn2 I
     gy: jnp.ndarray     # (n,)   effective (possibly warped) targets
     lgpy: jnp.ndarray   # (n,)   log g'(y) (zeros for plain Gaussian)
+    y_max: jnp.ndarray = None  # max of RAW targets (rbf warp clamp)
 
 
 def _gram(kernel, params, X, jitter: float = 0.0):
@@ -78,7 +79,8 @@ def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
             A = K + sn2 * jnp.eye(n, dtype=K.dtype)
         L = jnp.linalg.cholesky(A)  # NaN rows on failure -> NaN objective
         alpha = jax.scipy.linalg.cho_solve((L, True), gy)
-    return Posterior(alpha=alpha, chol=L, gy=gy, lgpy=lgpy)
+    return Posterior(alpha=alpha, chol=L, gy=gy, lgpy=lgpy,
+                     y_max=jnp.max(y))
 
 
 @jax.custom_vjp
@@ -183,7 +185,9 @@ def posterior_mean_var(kernel, params, lik_hypers, X, post: Posterior,
         weights = jnp.asarray(weights, mu.dtype)
         sig = jnp.sqrt(var)
         Z = mu[:, None] + sig[:, None] * nodes[None, :]
-        ymax = jnp.max(post.gy)  # post-warp max, used by rbf family clamp
+        # the rbf family's centre clamp uses max of the RAW training
+        # targets (GP_Utils.cpp:591 uses yTarg.max())
+        ymax = post.y_max if post.y_max is not None else jnp.max(post.gy)
         G = warping.inverse(
             likelihood.family,
             likelihood.warp_hypers(lik_hypers),

@@ -111,7 +111,8 @@ def inverse(family: str, theta: jnp.ndarray, z: jnp.ndarray,
         gy, _ = warp(family, theta, y, y_train_max)
         return gy - z
 
-    dz = jnp.max(jnp.abs(z))
+    # floor the bracket step: dz = 0 (all-zero z) would loop forever
+    dz = jnp.maximum(jnp.max(jnp.abs(z)), 1.0)
 
     def lower_cond(state):
         y, r = state

@@ -243,3 +243,30 @@ class TestQWGradMode:
         g_a = np.asarray(jax.grad(lambda v: obj(v, "autodiff"))(lh))
         g_q = np.asarray(jax.grad(lambda v: obj(v, "qw"))(lh))
         np.testing.assert_allclose(g_q, g_a, rtol=1e-6, atol=1e-9)
+
+
+class TestRbfWarpFamily:
+    def test_rbf_warp_nlml_and_predict(self):
+        kern, params, _, X, y = make_problem(n=12)
+        wlik = WarpedGaussian(family=warping.RBFW, n_triplets=1)
+        lh = jnp.asarray([-1.0, 0.5, 0.3, 0.5 * math.log(0.05)])
+        v = float(nlml(kern, params, lh, X, y, likelihood=wlik))
+        assert np.isfinite(v)
+        mu, var = predict(kern, params, lh, X, y, X[:4], likelihood=wlik)
+        assert np.isfinite(np.asarray(mu)).all()
+        assert (np.asarray(var) >= 0).all()
+
+    def test_srbf_warp_nlml(self):
+        kern, params, _, X, y = make_problem(n=10)
+        wlik = WarpedGaussian(family=warping.SRBF, n_triplets=1)
+        lh = jnp.asarray([0.3, 1.2, 0.1, 0.5 * math.log(0.05)])
+        v = float(nlml(kern, params, lh, X, y, likelihood=wlik))
+        assert np.isfinite(v)
+
+    def test_inverse_handles_zero_z(self):
+        # dz floor: all-zero z used to hang the bracketing loop
+        theta = jnp.asarray([0.3, -0.2, 0.5])
+        z = jnp.zeros(5)
+        back = warping.inverse(warping.TANH1, theta, z)
+        gy, _ = warping.warp(warping.TANH1, theta, back)
+        np.testing.assert_allclose(np.asarray(gy), 0.0, atol=1e-6)
