@@ -1,6 +1,7 @@
 """Bayesian hyperposteriors: HMC / iterative NUTS + predictive mixing."""
 
 from gp_ss_ak_tpu.bayes.api import predictive_mixture, sample_hyperposterior
+from gp_ss_ak_tpu.bayes.diagnostics import ess_bulk, split_rhat, summarize
 from gp_ss_ak_tpu.bayes.hmc import hmc_sample, nuts_sample
 from gp_ss_ak_tpu.bayes.priors import (
     BoxTransform,
@@ -14,6 +15,9 @@ __all__ = [
     "sample_hyperposterior",
     "predictive_mixture",
     "hmc_sample",
+    "split_rhat",
+    "ess_bulk",
+    "summarize",
     "nuts_sample",
     "BoxTransform",
     "default_box",

@@ -98,3 +98,53 @@ class TestGPHyperposterior:
         assert (np.asarray(var) >= 0).all()
         mse = float(np.mean((np.asarray(mu) - y) ** 2))
         assert mse < 0.5
+
+
+class TestDiagnostics:
+    def test_rhat_near_one_for_iid(self):
+        from gp_ss_ak_tpu.bayes import ess_bulk, split_rhat, summarize
+
+        rng = np.random.default_rng(0)
+        theta = rng.normal(size=(4, 500, 3))
+        rhat = split_rhat(theta)
+        np.testing.assert_allclose(rhat, 1.0, atol=0.02)
+        ess = ess_bulk(theta)
+        assert (ess > 500).all()  # iid: ess ~ total draws
+
+    def test_rhat_detects_unmixed_chains(self):
+        from gp_ss_ak_tpu.bayes import split_rhat
+
+        rng = np.random.default_rng(1)
+        theta = rng.normal(size=(4, 300, 2))
+        theta[0] += 5.0  # one chain stuck elsewhere
+        assert (split_rhat(theta) > 1.5).all()
+
+    def test_ess_low_for_sticky_chain(self):
+        from gp_ss_ak_tpu.bayes import ess_bulk
+
+        rng = np.random.default_rng(2)
+        n = 1000
+        ar = np.zeros((2, n, 1))
+        for c in range(2):
+            x = 0.0
+            for t in range(n):
+                x = 0.98 * x + 0.02 * rng.normal()
+                ar[c, t, 0] = x
+        ess = ess_bulk(ar)
+        assert ess[0] < 0.2 * 2 * n  # strongly autocorrelated
+
+    def test_summarize_on_real_sampler_output(self):
+        from gp_ss_ak_tpu.bayes import nuts_sample, summarize
+
+        cov = np.array([[1.0, 0.5], [0.5, 1.0]])
+        prec = jnp.asarray(np.linalg.inv(cov))
+        runs = []
+        for seed in range(2):
+            s, _ = nuts_sample(lambda z: -0.5 * z @ prec @ z,
+                               jnp.zeros(2), jax.random.PRNGKey(seed),
+                               n_samples=400, n_warmup=300)
+            runs.append(np.asarray(s))
+        theta = np.stack(runs)
+        diag = summarize(theta)
+        assert (diag["rhat"] < 1.1).all()
+        assert (diag["ess"] > 50).all()
