@@ -100,9 +100,8 @@ def cpu_time() -> float:
         grads = [0.5 * np.sum(QW * K) for _ in range(10)]
         return nl, grads
 
-    nlml_grad()  # warm BLAS
     t0 = time.perf_counter()
-    nl, _ = nlml_grad()
+    nl, _ = nlml_grad()  # single timed run: ~30 s, BLAS warmup negligible
     return time.perf_counter() - t0, nl
 
 
