@@ -82,9 +82,24 @@ def _fused_gram(Xi, Xj, scalars, with_diag: bool, tm: int,
     kern = functools.partial(_gram_kernel, tm=tm, tn=tn,
                              with_diag=with_diag)
     flops = 2 * n * m * dpad + 8 * n * m
+    # under shard_map the output must declare its varying mesh axes and
+    # every operand must carry the SAME vma (pallas kernels don't
+    # auto-promote) — pvary all inputs to the union
+    try:
+        vma = jax.typeof(Xi).vma | jax.typeof(Xj).vma \
+            | jax.typeof(scalars).vma
+    except Exception:
+        vma = frozenset()
+    if vma:
+        Xi = jax.lax.pvary(Xi, tuple(vma - jax.typeof(Xi).vma))
+        Xj = jax.lax.pvary(Xj, tuple(vma - jax.typeof(Xj).vma))
+        scalars = jax.lax.pvary(
+            scalars, tuple(vma - jax.typeof(scalars).vma))
+    out_shape = (jax.ShapeDtypeStruct((n, m), Xi.dtype, vma=vma)
+                 if vma else jax.ShapeDtypeStruct((n, m), Xi.dtype))
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, m), Xi.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars (3,)
