@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -105,3 +106,62 @@ def init_inducing(X, m: int, seed: int = 0) -> jnp.ndarray:
     idx = jax.random.choice(jax.random.PRNGKey(seed), n,
                             shape=(min(m, n),), replace=False)
     return jnp.asarray(X)[idx]
+
+
+def fit_sgpr(model, X, y, m: int = 128, iters: int = 100, seed: int = 0,
+             z_bound: float = None, jitter: float = 1e-6, verbose: int = 0):
+    """Joint bound-constrained L-BFGS over hypers AND inducing
+    locations. Hypers keep the reference box [1e-4, 6]; inducing
+    coordinates get +-z_bound (default: 2x the data range). Returns
+    (fitted_model, Z, OptResult)."""
+    from dataclasses import replace as _replace
+
+    import jax as _jax
+
+    from gp_ss_ak_tpu.optim.lbfgsb import (
+        DEFAULT_LOWER,
+        DEFAULT_UPPER,
+        LBFGSB,
+    )
+
+    dtype = jnp.result_type(model.pack())
+    Xd = jnp.asarray(X, dtype)
+    yd = jnp.asarray(y, dtype)
+    Z0 = init_inducing(Xd, m, seed)
+    m_eff, d = Z0.shape
+    kern = model.kernel
+    nk = kern.n_params
+    nl = int(np.size(model.lik_hypers))
+    if z_bound is None:
+        z_bound = 2.0 * float(jnp.max(jnp.abs(Xd)))
+
+    def unpack(v):
+        kp = kern.unpack(v[:nk])
+        lh = v[nk : nk + nl]
+        Z = v[nk + nl :].reshape(m_eff, d)
+        return kp, lh, Z
+
+    def loss(v):
+        kp, lh, Z = unpack(v)
+        return neg_elbo(kern, kp, lh, Xd, yd, Z, jitter)
+
+    vg = _jax.jit(_jax.value_and_grad(loss))
+
+    def vgrad(x):
+        val, g = vg(jnp.asarray(x, dtype))
+        return float(val), np.asarray(g, np.float64)
+
+    v0 = np.concatenate([
+        np.asarray(kern.pack(model.kernel_params), np.float64),
+        np.asarray(model.lik_hypers, np.float64),
+        np.asarray(Z0, np.float64).ravel(),
+    ])
+    lb = np.concatenate([np.full(nk + nl, DEFAULT_LOWER),
+                         np.full(m_eff * d, -z_bound)])
+    ub = np.concatenate([np.full(nk + nl, DEFAULT_UPPER),
+                         np.full(m_eff * d, z_bound)])
+    res = LBFGSB(maxiter=iters, verbose=verbose).minimize(vgrad, v0, lb, ub)
+    kp, lh, Z = unpack(jnp.asarray(res.x, dtype))
+    fitted = _replace(model, kernel_params=kp, lik_hypers=lh,
+                      num_data=int(Xd.shape[0]), input_dim=int(d))
+    return fitted, Z, res

@@ -82,3 +82,17 @@ class TestSGPR:
                                model.lik_hypers, X, y, Z, X[:100])
         mse = float(jnp.mean((mu - y[:100]) ** 2))
         assert mse < 0.2
+
+
+class TestFitSGPR:
+    def test_joint_fit_improves_and_predicts(self):
+        from gp_ss_ak_tpu.inference.sgpr import fit_sgpr, predict as spred
+
+        model, X, y = make_problem(n=150)
+        fitted, Z, res = fit_sgpr(model, X, y, m=24, iters=30)
+        assert res.fun < res.trace[0] - 5.0
+        mu, var = spred(fitted.kernel, fitted.kernel_params,
+                        fitted.lik_hypers, X, y, Z, X[:20])
+        mse = float(jnp.mean((mu - y[:20]) ** 2))
+        assert mse < 0.1
+        assert (np.asarray(var) >= 0).all()
