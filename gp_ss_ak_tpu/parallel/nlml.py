@@ -56,13 +56,6 @@ def _build_A_local(kernel, params, sn2, X_local, X_all, g, n_valid):
     return jnp.where(vr & vc, K_local, 0.0) + eye_local * diag_val
 
 
-def _shard_args(mesh: Mesh, axis: str):
-    row = P(axis)
-    rep = P()
-    in_specs = (rep, row, row)       # (flat_hypers, X_local, y_local)
-    return in_specs, rep
-
-
 def make_dist_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
                             n_devices: int = None, nb: int = 128,
                             axis: str = ROW_AXIS) -> Callable:

@@ -144,3 +144,40 @@ class TestDistNLML:
                                    rtol=1e-7, atol=1e-9)
         np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
                                    rtol=1e-6, atol=1e-9)
+
+
+class TestMultiBlockPerDevice:
+    """nb < n_local exercises nonzero in-shard block offsets — a
+    different region of the owner-selection logic than 1 block/device."""
+
+    def test_chol_solve_nlml_with_two_blocks_per_device(self, mesh):
+        n = 128  # 8 devices x 16 rows, nb=8 -> 2 blocks each
+        A = spd_matrix(n)
+        Bm = RNG.normal(size=(n, 3))
+
+        def body(A_local, B_local):
+            L, hld = block_cholesky_local(A_local, 8)
+            Z = solve_chol_local(L, B_local, 8)
+            return L, hld, Z
+
+        L, hld, Z = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None)),
+            out_specs=(P(ROW_AXIS, None), P(), P(ROW_AXIS, None))))(
+                row_shard(mesh, A), row_shard(mesh, Bm))
+        Ld = np.linalg.cholesky(A)
+        np.testing.assert_allclose(np.asarray(L), Ld, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Z), np.linalg.solve(A, Bm),
+                                   atol=1e-9)
+
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        X = RNG.normal(size=(100, 3))
+        y = np.sin(X[:, 0])
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=8)
+        f = make_dist_nlml_and_grad(model.kernel, model.likelihood, mesh,
+                                    n=ntrue, nb=8)
+        v, g = f(model.pack(), Xs, ys)
+        from gp_ss_ak_tpu.optim import make_value_and_grad
+        vd, gd = make_value_and_grad(model, X, y)(np.asarray(model.pack()))
+        assert float(v) == pytest.approx(vd, rel=1e-10)
+        np.testing.assert_allclose(np.asarray(g), gd, rtol=1e-8, atol=1e-10)
