@@ -97,3 +97,29 @@ class TestCLI4D:
         out = capsys.readouterr().out.strip().splitlines()
         mse, var_y = float(out[-2]), float(out[-1])
         assert mse < var_y
+
+
+class TestKernelCombos:
+    def test_repeatable_kernel_flag(self, dataset, capsys):
+        train, test, tmp = dataset
+        model = str(tmp / "mc")
+        rc = main(["train", "-k", "RBF", "-k", "Exp", "-#", "10",
+                   "--float64", train, model])
+        assert rc == 0
+        capsys.readouterr()
+        # model file: Hyb + RBF + Exp + Bias children
+        content = open(model).read()
+        assert content.count("KernelName=") == 4
+        assert "KernelName=RBF" in content and "KernelName=Exp" in content
+        rc = main(["test", "--no-plot", "--float64", test, model, train])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert float(out[-2]) < float(out[-1])  # beats the mean
+
+    def test_white_kernel_trains(self, dataset, capsys):
+        # the reference would self-recurse training White (Kernel.h:56-59)
+        train, _, tmp = dataset
+        rc = main(["train", "-k", "White", "-#", "3", "--float64", train,
+                   str(tmp / "mw")])
+        assert rc == 0
+        capsys.readouterr()
