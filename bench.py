@@ -48,7 +48,7 @@ def tpu_time() -> float:
     Xd = jnp.asarray(X, dtype)
     yd = jnp.asarray(y, dtype)
     model = default_model(input_dim=D, dtype=dtype)
-    f = flat_nlml_fn(model, Xd, yd)
+    f = flat_nlml_fn(model)
     vg = jax.jit(jax.value_and_grad(lambda p: f(p, Xd, yd)))
     flat = model.pack()
 

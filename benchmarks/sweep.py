@@ -53,7 +53,7 @@ def main(ns=(1024, 2048, 4096, 8192), reps=10):
             chol = jax.jit(jnp.linalg.cholesky)
         t_chol = timeit_fn(chol, A, reps=reps)
 
-        f = flat_nlml_fn(model, X, y)
+        f = flat_nlml_fn(model)
         vg = jax.jit(jax.value_and_grad(lambda p: f(p, X, y)))
         t_vg = timeit_fn(lambda p: vg(p)[0], model.pack(), reps=reps)
 

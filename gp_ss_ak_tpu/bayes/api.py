@@ -56,7 +56,7 @@ def sample_hyperposterior(
     p = model.n_params
     box = box or default_box(p, dtype)
     if nlml_fn is None:
-        f = flat_nlml_fn(model, Xd, yd)
+        f = flat_nlml_fn(model)
         nlml_fn = lambda t: f(t, Xd, yd)  # noqa: E731
     log_post = make_log_posterior(nlml_fn, box, log_prior)
 

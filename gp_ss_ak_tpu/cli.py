@@ -90,7 +90,7 @@ def _dtype(args):
 def cmd_train(args) -> int:
     import jax.numpy as jnp
 
-    from gp_ss_ak_tpu.data import prepare, read_data, unapply_var, unapply_y
+    from gp_ss_ak_tpu.data import prepare, read_data, unapply_y
     from gp_ss_ak_tpu.inference import predict
     from gp_ss_ak_tpu.model import default_model, save_model
     from gp_ss_ak_tpu.optim import fit
@@ -130,8 +130,19 @@ def cmd_train(args) -> int:
         model = replace(model, kernel_params=model.kernel.unpack(
             jnp.asarray(vals, dtype)))
     if args.init_lik is not None:
-        model = replace(model,
-                        lik_hypers=jnp.asarray([args.init_lik], dtype))
+        from gp_ss_ak_tpu.inference import WarpedGaussian as _WG
+
+        if isinstance(model.likelihood, _WG):
+            # warped models parameterize noise as exp(2 theta_last):
+            # write into the last hyper, keep the warp triplets
+            import math as _math
+
+            lh = model.lik_hypers.at[-1].set(
+                0.5 * _math.log(max(args.init_lik, 1e-12)))
+            model = replace(model, lik_hypers=lh)
+        else:
+            model = replace(model,
+                            lik_hypers=jnp.asarray([args.init_lik], dtype))
 
     if args.verbose > 0:
         print(f"Optimizing {model.n_params} hyperparameters with "

@@ -28,7 +28,8 @@ def _parse_lines(text: str) -> np.ndarray:
     for line in text.splitlines():
         if not line.strip() or line.lstrip().startswith("#"):
             continue
-        toks = [t for t in line.replace(",", "\t").split("\t") if t.strip()]
+        toks = [t for t in line.replace(",", " ").replace("\t", " ").split()
+                if t]
         if not toks:
             continue
         vals = [float(t) for t in toks]

@@ -46,7 +46,7 @@ def fit_ensemble(model: GPModel, Xb, yb, maxiter: int = 100,
                      else np.full(p, DEFAULT_LOWER), dtype)
     ub = jnp.asarray(upper if upper is not None
                      else np.full(p, DEFAULT_UPPER), dtype)
-    f = flat_nlml_fn(model, Xb[0], yb[0])
+    f = flat_nlml_fn(model)
     flat0 = model.pack()
 
     def fit_one(X, y):

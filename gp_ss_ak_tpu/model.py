@@ -129,6 +129,12 @@ def save_model(model: GPModel, path: str,
                comment: str = "# GP_SS_AK Model File ") -> None:
     with open(path, "w") as out:
         out.write(comment + "\n")
+        if isinstance(model.likelihood, WarpedGaussian):
+            # comment marker (skipped by the reference's reader,
+            # StreamInt.h:81-85) so the warp family survives a round
+            # trip — the reference format stores only likelihood=1
+            out.write(f"# WarpFamily={model.likelihood.family} "
+                      f"Triplets={model.likelihood.n_triplets}\n")
         out.write(f"Inference={model.inference}\n")
         out.write(f"likelihood={model.likelihood.kind}\n")
         out.write(f"MeanFunction={model.mean_function}\n")
@@ -201,7 +207,8 @@ def _read_kernel(r: _LineReader, dtype=jnp.float64):
 
 def load_model(path: str, dtype=jnp.float64) -> GPModel:
     with open(path, "r") as f:
-        r = _LineReader(f.read())
+        text = f.read()
+    r = _LineReader(text)
     inference = r.expect("Inference")
     lik_kind = int(r.expect("likelihood"))
     mean_fn = r.expect("MeanFunction")
@@ -219,7 +226,16 @@ def load_model(path: str, dtype=jnp.float64) -> GPModel:
     for _ in range(n_mean):
         mean_hypers.append(float(r.expect("Hyperparams_meanfunction")))
     if lik_kind == LIK_WARPGAUSS:
-        likelihood = WarpedGaussian(n_triplets=max(1, (n_lik - 1) // 3))
+        family = "tanh1"
+        triplets = max(1, (n_lik - 1) // 3)
+        for line in text.splitlines():
+            if line.startswith("# WarpFamily="):
+                toks = line[2:].split()
+                family = toks[0].split("=", 1)[1]
+                if len(toks) > 1 and toks[1].startswith("Triplets="):
+                    triplets = int(toks[1].split("=", 1)[1])
+                break
+        likelihood = WarpedGaussian(family=family, n_triplets=triplets)
     else:
         likelihood = Gaussian()
     return GPModel(

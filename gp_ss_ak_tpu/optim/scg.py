@@ -50,6 +50,15 @@ class SCG:
         lam = self.lambda_init
         lam_bar = 0.0
         f, grad = fg(x)
+        if not np.isfinite(f):
+            # shrink toward a small-hyper anchor out of the NaN region
+            # (same policy as LBFGSB.minimize)
+            anchor = np.clip(np.full(p, 0.5), lb, ub)
+            for _ in range(10):
+                x = 0.5 * (x + anchor)
+                f, grad = fg(x)
+                if np.isfinite(f):
+                    break
         r = -grad
         d = r.copy()
         success = True
@@ -77,8 +86,13 @@ class SCG:
             x_new = np.clip(x + alpha * d, lb, ub)
             f_new, grad_new = fg(x_new)
 
-            Delta = 2.0 * delta * (f - f_new) / (phi * phi) \
-                if phi != 0 else -1.0
+            if not np.isfinite(f_new) or phi == 0:
+                # NaN objective (failed Cholesky): force the
+                # trust-region shrink path so lambda grows and the
+                # next trial point moves (no silent spin)
+                Delta = -1.0
+            else:
+                Delta = 2.0 * delta * (f - f_new) / (phi * phi)
             if np.isfinite(f_new) and Delta >= 0:
                 success = True
                 lam_bar = 0.0

@@ -32,9 +32,15 @@ class Predictor:
         self.y = jnp.asarray(y, dtype)
         if robust:
             # jitter-retry factorization (utils/psd.py) for serving
+            from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
             from gp_ss_ak_tpu.ops.fused import maybe_fused_A
 
-            sn2 = model.likelihood.noise_variance(model.lik_hypers)
+            lik = model.likelihood
+            sn2 = lik.noise_variance(model.lik_hypers)
+            if isinstance(lik, WarpedGaussian):
+                gy, lgpy = lik.effective_target(model.lik_hypers, self.y)
+            else:
+                gy, lgpy = self.y, jnp.zeros_like(self.y)
             with jax.default_matmul_precision("highest"):
                 A = maybe_fused_A(model.kernel, model.kernel_params, sn2,
                                   self.X, jitter, fused)
@@ -44,10 +50,10 @@ class Predictor:
                     A = K + (sn2 + jitter) * jnp.eye(self.X.shape[0],
                                                      dtype=dtype)
                 L, self.nugget = robust_cholesky(A)
-                alpha = jax.scipy.linalg.cho_solve((L, True), self.y)
+                alpha = jax.scipy.linalg.cho_solve((L, True), gy)
             self.post = gaussian.Posterior(
-                alpha=alpha, chol=L, gy=self.y,
-                lgpy=jnp.zeros_like(self.y))
+                alpha=alpha, chol=L, gy=gy, lgpy=lgpy,
+                y_max=jnp.max(self.y))
         else:
             self.post = gaussian.factorize(
                 model.kernel, model.kernel_params, model.lik_hypers,

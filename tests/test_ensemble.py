@@ -29,7 +29,7 @@ class TestEnsemble:
         assert res.flat.shape == (4, 10)
         # every deposit's NLML must beat the init
         from gp_ss_ak_tpu.optim.api import flat_nlml_fn
-        f = flat_nlml_fn(model, jnp.asarray(Xb[0]), jnp.asarray(yb[0]))
+        f = flat_nlml_fn(model)
         for b in range(4):
             init = float(f(model.pack(), jnp.asarray(Xb[b]),
                            jnp.asarray(yb[b])))

@@ -165,3 +165,17 @@ class TestDeviceFit:
         assert r_dev.fun < r_host.fun + 5.0
         flat = np.asarray(r_dev.x)
         assert (flat >= 1e-4 - 1e-9).all() and (flat <= 6.0 + 1e-9).all()
+
+
+class TestSCGNaNRecovery:
+    def test_nan_start_and_nan_band(self):
+        def vg(x):
+            if x[0] > 1.5:
+                return float("nan"), np.zeros(1)
+            return float((x[0] - 1.0) ** 2), np.array([2 * (x[0] - 1.0)])
+
+        res = SCG(maxiter=60).minimize(vg, np.array([3.0]),
+                                       lower=np.array([1e-4]),
+                                       upper=np.array([6.0]))
+        assert np.isfinite(res.fun)
+        assert abs(res.x[0] - 1.0) < 0.2
