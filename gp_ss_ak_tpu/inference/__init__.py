@@ -1,6 +1,13 @@
 """Inference: exact (warped-)Gaussian GP regression + generic Laplace."""
 
-from gp_ss_ak_tpu.inference import laplace, likelihoods, quadrature, sgpr, warping
+from gp_ss_ak_tpu.inference import (
+    iterative,
+    laplace,
+    likelihoods,
+    quadrature,
+    sgpr,
+    warping,
+)
 from gp_ss_ak_tpu.inference.gaussian import (
     Posterior,
     factorize,
@@ -29,6 +36,7 @@ __all__ = [
     "LIK_WARPGAUSS",
     "laplace",
     "sgpr",
+    "iterative",
     "likelihoods",
     "warping",
     "quadrature",

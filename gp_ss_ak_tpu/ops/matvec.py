@@ -1,0 +1,126 @@
+"""Matrix-free Gram matvec: y = (s^2 exp(-||xi-xj||) ) v, K never built.
+
+At N = 100k the kernel matrix is 40 GB in f32 — beyond single-chip
+HBM. This Pallas kernel streams K tile-by-tile through VMEM: the
+points live TRANSPOSED as (dpad, N) (d on sublanes, N on lanes —
+3.2 MB at N=100k, so X and v stay resident in VMEM for every grid
+step), each grid program owns one output row-tile and loops over
+column tiles computing distances + exp + a (tm, tn) x (tn, 1) MXU
+accumulation in place.
+
+The bias and noise terms are rank-1/diagonal and added OUTSIDE in two
+XLA ops: y += bias * sum(v) + sn2 * v. The kernel fixes its own
+diagonal tile to exactly s^2 v_i (Gram round-off sits on the sqrt
+kink otherwise).
+
+Used by inference/iterative.py's CG loop. Forward-only (gradients use
+the chunked differentiable matvec there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gp_ss_ak_tpu.ops.pairwise import _on_tpu, _round_up
+
+
+def _matvec_kernel(scal_ref, xt_ref, norms_ref, v_ref, out_ref, *,
+                   tm: int, tn: int, n_col_tiles: int):
+    """out tile (tm, 1) = sum_j K(i, j) @ v_j."""
+    s2 = scal_ref[0]
+    i = pl.program_id(0)
+    xi = xt_ref[:, pl.ds(i * tm, tm)]            # (dpad, tm)
+    ni = norms_ref[:, pl.ds(i * tm, tm)]         # (1, tm)
+
+    def body(j, acc):
+        xj = xt_ref[:, pl.ds(j * tn, tn)]        # (dpad, tn)
+        nj = norms_ref[:, pl.ds(j * tn, tn)]     # (1, tn)
+        cross = jax.lax.dot_general(
+            xi, xj, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (tm, tn)
+        d2 = ni.reshape(tm, 1) + nj.reshape(1, tn) - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        k = s2 * jnp.exp(-jnp.sqrt(d2))
+        rows = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+        cols = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+        k = jnp.where(rows == cols, s2, k)       # exact diagonal
+        vj = v_ref[:, pl.ds(j * tn, tn)]         # (1, tn)
+        contrib = jax.lax.dot_general(
+            k, vj, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (tm, 1)
+        return acc + contrib
+
+    acc0 = jnp.zeros((tm, 1), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n_col_tiles, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _matvec(Xt, norms, v2, scalars, tm: int, tn: int, interpret: bool):
+    dpad, npad = Xt.shape
+    grid = (npad // tm,)
+    kern = functools.partial(_matvec_kernel, tm=tm, tn=tn,
+                             n_col_tiles=npad // tn)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # Xt full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # norms full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # v full
+        ],
+        out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * npad * (dpad + 1),
+            bytes_accessed=4 * (npad * dpad + 3 * npad),
+            transcendentals=npad * npad),
+        interpret=interpret,
+    )(scalars, Xt, norms, v2)
+    return out[:, 0]
+
+
+class MatvecOperator:
+    """A = s^2 exp(-dist) + bias + sn2 I as a matvec closure.
+
+    Xm: metric-mapped recentred points (n, d) — same convention as
+    ops/fused.py. Padded state is prepared once; __call__ is jitted.
+    """
+
+    def __init__(self, Xm, sigma, bias, sn2, tm: int = 512,
+                 tn: int = 512, interpret: bool = None):
+        if interpret is None:
+            interpret = not _on_tpu()
+        Xm = jnp.asarray(Xm, jnp.float32)
+        n, d = Xm.shape
+        self.n = n
+        tile = max(tm, tn)
+        npad = _round_up(n, tile)
+        dpad = _round_up(d, 8)
+        Xt = jnp.zeros((dpad, npad), jnp.float32)
+        self.Xt = Xt.at[:d, :n].set(Xm.T)
+        self.norms = jnp.sum(self.Xt * self.Xt, axis=0,
+                             keepdims=True)     # (1, npad)
+        self.npad = npad
+        self.tm = tm
+        self.tn = tn
+        self.interpret = interpret
+        self.sigma = jnp.asarray(sigma, jnp.float32)
+        self.bias = jnp.asarray(bias, jnp.float32)
+        self.sn2 = jnp.asarray(sn2, jnp.float32)
+        self.scalars = jnp.stack([self.sigma * self.sigma])
+
+    def __call__(self, v):
+        v = jnp.asarray(v, jnp.float32)
+        v2 = jnp.zeros((1, self.npad), jnp.float32).at[0, : self.n].set(v)
+        y = _matvec(self.Xt, self.norms, v2, self.scalars,
+                    self.tm, self.tn, self.interpret)[: self.n]
+        # rank-1 bias + diagonal noise, added at XLA level
+        return y + self.bias * jnp.sum(v) + self.sn2 * v
