@@ -100,8 +100,12 @@ def cpu_time() -> float:
         grads = [0.5 * np.sum(QW * K) for _ in range(10)]
         return nl, grads
 
+    # warm BLAS/threads with a small factorization so the timed run
+    # measures steady-state LAPACK, not one-time init/page faults
+    w = np.linalg.cholesky(np.eye(512) + 0.1)
+    _ = np.linalg.inv(np.eye(512) + np.outer(w[:, 0], w[:, 0]))
     t0 = time.perf_counter()
-    nl, _ = nlml_grad()  # single timed run: ~30 s, BLAS warmup negligible
+    nl, _ = nlml_grad()
     return time.perf_counter() - t0, nl
 
 
