@@ -254,11 +254,29 @@ def _plot(pred_file: str, model_name: str, y, yh, std) -> None:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.command == "train":
-        return cmd_train(args)
-    if args.command == "test":
-        return cmd_test(args)
-    return 2
+    cmd = {"train": cmd_train, "test": cmd_test}.get(args.command)
+    if cmd is None:
+        return 2
+    # Clean termination on user errors — the reference's
+    # ErrorTermination -> exit(1) (ModelInf.h:84-88, Control.cpp:331-337)
+    # without a Python traceback. `-v 3` keeps the full traceback for
+    # debugging.
+    try:
+        return cmd(args)
+    except FileNotFoundError as e:
+        print(f"Error: file not found: {e.filename or e}", file=sys.stderr)
+    except (ValueError, KeyError) as e:
+        if args.verbose >= 3:
+            raise
+        print(f"Error: {e}", file=sys.stderr)
+    except KeyboardInterrupt:
+        print("Interrupted.", file=sys.stderr)
+        return 130
+    except Exception as e:  # noqa: BLE001 - CLI boundary
+        if args.verbose >= 3:
+            raise
+        print(f"Error ({type(e).__name__}): {e}", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":

@@ -29,6 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gp_ss_ak_tpu.ops.chol import cholesky as _cholesky
+
 from gp_ss_ak_tpu.inference import warping
 from gp_ss_ak_tpu.inference.likelihoods import Gaussian, WarpedGaussian
 from gp_ss_ak_tpu.inference.quadrature import gauss_hermite
@@ -77,7 +79,7 @@ def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
         if A is None:
             K = _gram(kernel, params, X, jitter)
             A = K + sn2 * jnp.eye(n, dtype=K.dtype)
-        L = jnp.linalg.cholesky(A)  # NaN rows on failure -> NaN objective
+        L = _cholesky(A)  # NaN rows on failure -> NaN objective
         alpha = jax.scipy.linalg.cho_solve((L, True), gy)
     return Posterior(alpha=alpha, chol=L, gy=gy, lgpy=lgpy,
                      y_max=jnp.max(y))
@@ -93,13 +95,13 @@ def _quad_logdet(A, gy):
     adjoint is panel-sequential on TPU) with one explicit A^-1 built
     from two MXU-rich multi-RHS triangular solves.
     """
-    L = jnp.linalg.cholesky(A)
+    L = _cholesky(A)
     alpha = jax.scipy.linalg.cho_solve((L, True), gy)
     return 0.5 * jnp.dot(gy, alpha) + jnp.sum(jnp.log(jnp.diagonal(L)))
 
 
 def _quad_logdet_fwd(A, gy):
-    L = jnp.linalg.cholesky(A)
+    L = _cholesky(A)
     alpha = jax.scipy.linalg.cho_solve((L, True), gy)
     val = 0.5 * jnp.dot(gy, alpha) + jnp.sum(jnp.log(jnp.diagonal(L)))
     return val, (L, alpha)

@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from gp_ss_ak_tpu.ops.chol import cholesky as _cholesky
+
 
 def robust_cholesky(A: jnp.ndarray, max_attempts: int = 4,
                     initial_rel: float = 1e-8):
@@ -28,7 +30,7 @@ def robust_cholesky(A: jnp.ndarray, max_attempts: int = 4,
     def attempt(k):
         nug = jnp.where(k == 0, 0.0,
                         scale * initial_rel * (100.0 ** (k - 1)))
-        return jnp.linalg.cholesky(A + nug * eye), nug
+        return _cholesky(A + nug * eye), nug
 
     L0, nug0 = attempt(jnp.asarray(0))
 

@@ -123,3 +123,15 @@ class TestKernelCombos:
                    str(tmp / "mw")])
         assert rc == 0
         capsys.readouterr()
+
+    def test_missing_file_clean_error(self, tmp_path, capsys):
+        # user errors end with exit 1 + a one-line message, no traceback
+        rc = main(["train", "--float64", str(tmp_path / "nope.txt"), "m"])
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "Error" in err and "Traceback" not in err
+        rc = main(["test", "--no-plot", str(tmp_path / "nope.txt"),
+                   str(tmp_path / "m"), str(tmp_path / "t.txt")])
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "Error" in err and "Traceback" not in err
