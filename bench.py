@@ -39,6 +39,7 @@ def _problem():
 def tpu_time() -> float:
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from gp_ss_ak_tpu.model import default_model
     from gp_ss_ak_tpu.optim import flat_nlml_fn
@@ -49,16 +50,27 @@ def tpu_time() -> float:
     yd = jnp.asarray(y, dtype)
     model = default_model(input_dim=D, dtype=dtype)
     f = flat_nlml_fn(model)
-    vg = jax.jit(jax.value_and_grad(lambda p: f(p, Xd, yd)))
-    flat = model.pack()
+    vg = jax.value_and_grad(lambda p: f(p, Xd, yd))
+    flat = model.pack().astype(dtype)
 
-    val, g = vg(flat)
-    val.block_until_ready()  # compile
+    val, _ = jax.jit(vg)(flat)
     assert np.isfinite(float(val)), "TPU NLML not finite"
+
+    # Timed as ONE on-device program of REPS serially-dependent
+    # evaluations (each input depends on the previous gradient), so no
+    # dispatch pipeline, host round-trips, transparent caching, or
+    # dead-code elision can shrink the measurement.
+    @jax.jit
+    def chain(p):
+        def body(_, carry):
+            p, s = carry
+            v, g = vg(p + s * 1e-25)
+            return (p, s + v * 1e-6 + jnp.sum(g) * 1e-9)
+        _, s = lax.fori_loop(0, REPS, body, (p, jnp.asarray(0.0, dtype)))
+        return s
+    chain(flat).block_until_ready()  # compile
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        val, g = vg(flat)
-    val.block_until_ready()
+    chain(flat + 1e-7).block_until_ready()
     return (time.perf_counter() - t0) / REPS, float(val)
 
 

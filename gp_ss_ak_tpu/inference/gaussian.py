@@ -111,7 +111,11 @@ def _quad_logdet_bwd(res, ghat):
     L, alpha = res
     n = L.shape[0]
     eye = jnp.eye(n, dtype=L.dtype)
-    Ainv = jax.scipy.linalg.cho_solve((L, True), eye)
+    # A^-1 = L^-T L^-1 via ONE n-RHS triangular solve + one syrk GEMM:
+    # the syrk runs near MXU peak, unlike the second chained trsm that
+    # cho_solve(L, I) would issue.
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Ainv = jnp.matmul(Linv.T, Linv, precision=jax.lax.Precision.HIGHEST)
     Abar = (0.5 * ghat) * (Ainv - jnp.outer(alpha, alpha))
     return Abar, ghat * alpha
 
