@@ -26,7 +26,7 @@ import numpy as np
 
 N = 4096
 D = 3
-REPS = 5
+REPS = 20
 
 
 def _problem():
@@ -69,9 +69,22 @@ def tpu_time() -> float:
         _, s = lax.fori_loop(0, REPS, body, (p, jnp.asarray(0.0, dtype)))
         return s
     chain(flat).block_until_ready()  # compile
+
+    # a blocking dispatch costs a variable host<->device round-trip
+    # (hundreds of ms over a tunnel); measure it with a null program
+    # and subtract so the result is device compute, not transport
+    @jax.jit
+    def null(p):
+        return jnp.sum(p) * 0.0
+    null(flat).block_until_ready()
+    t0 = time.perf_counter()
+    null(flat + 2e-7).block_until_ready()
+    t_null = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     chain(flat + 1e-7).block_until_ready()
-    return (time.perf_counter() - t0) / REPS, float(val)
+    t_total = time.perf_counter() - t0
+    return max(t_total - t_null, 1e-9) / REPS, float(val), t_null
 
 
 def cpu_time() -> float:
@@ -123,7 +136,7 @@ def cpu_time() -> float:
 
 def main():
     cpu_dt, cpu_val = cpu_time()
-    tpu_dt, tpu_val = tpu_time()
+    tpu_dt, tpu_val, t_null = tpu_time()
     speedup = cpu_dt / tpu_dt
     print(json.dumps({
         "metric": f"nlml_grad_speedup_vs_cpu_f64_n{N}",
@@ -132,6 +145,7 @@ def main():
         "vs_baseline": round(speedup, 2),
         "tpu_ms": round(tpu_dt * 1e3, 2),
         "cpu_ms": round(cpu_dt * 1e3, 2),
+        "dispatch_roundtrip_ms": round(t_null * 1e3, 2),
         "tpu_nlml": round(tpu_val, 3),
         "cpu_nlml": round(cpu_val, 3),
     }))

@@ -45,6 +45,9 @@ class Posterior(NamedTuple):
     gy: jnp.ndarray     # (n,)   effective (possibly warped) targets
     lgpy: jnp.ndarray   # (n,)   log g'(y) (zeros for plain Gaussian)
     y_max: jnp.ndarray = None  # max of RAW targets (rbf warp clamp)
+    linv: jnp.ndarray = None   # optional (n, n) L^-1: serving fast path
+    # (turns the per-batch O(n^2 m) triangular solve into one MXU GEMM;
+    # precomputed once by serve.Predictor)
 
 
 def _gram(kernel, params, X, jitter: float = 0.0):
@@ -172,7 +175,12 @@ def posterior_mean_var(kernel, params, lik_hypers, X, post: Posterior,
         kX = kernel.matrix(params, X, Xstar, same=False)   # (n, m)
         mu = kX.T @ post.alpha
         kdiag = kernel.diag(params, Xstar)
-        v = jax.scipy.linalg.solve_triangular(post.chol, kX, lower=True)
+        if post.linv is not None:
+            v = jnp.matmul(post.linv, kX,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            v = jax.scipy.linalg.solve_triangular(post.chol, kX,
+                                                  lower=True)
     if full_cov:
         Kss = kernel.matrix(params, Xstar, Xstar, same=True)
         cov = Kss - v.T @ v

@@ -24,8 +24,14 @@ from gp_ss_ak_tpu.utils.psd import robust_cholesky
 class Predictor:
     """Posterior server for one trained model + training set."""
 
+    #: above this training size the one-time L^-1 (an extra n x n
+    #: buffer + one n-RHS triangular solve) is not precomputed by
+    #: default — pass precompute_inverse=True to override.
+    PRECOMPUTE_MAX_N = 16384
+
     def __init__(self, model: GPModel, X, y, jitter: float = 0.0,
-                 robust: bool = False, fused: bool = None):
+                 robust: bool = False, fused: bool = None,
+                 precompute_inverse: Optional[bool] = None):
         self.model = model
         dtype = jnp.result_type(model.pack())
         self.X = jnp.asarray(X, dtype)
@@ -59,6 +65,17 @@ class Predictor:
                 model.kernel, model.kernel_params, model.lik_hypers,
                 self.X, self.y, model.likelihood, jitter, fused)
             self.nugget = jnp.zeros(())
+
+        if precompute_inverse is None:
+            precompute_inverse = self.X.shape[0] <= self.PRECOMPUTE_MAX_N
+        if precompute_inverse:
+            # one-time L^-1 so each serving batch's whitened solve is a
+            # single MXU GEMM instead of a triangular solve
+            eye = jnp.eye(self.X.shape[0], dtype=dtype)
+            with jax.default_matmul_precision("highest"):
+                linv = jax.scipy.linalg.solve_triangular(
+                    self.post.chol, eye, lower=True)
+            self.post = self.post._replace(linv=linv)
 
         self._predict = jax.jit(
             lambda Xs: gaussian.posterior_mean_var(

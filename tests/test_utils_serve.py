@@ -117,3 +117,26 @@ class TestPredictor:
         mu, var = server(X[:5])
         assert np.isfinite(mu).all()
         assert np.isfinite(var).all()
+
+
+def test_predictor_precomputed_inverse_matches_solve():
+    import numpy as np
+    import jax.numpy as jnp
+    from gp_ss_ak_tpu.model import default_model
+    from gp_ss_ak_tpu.serve import Predictor
+
+    rng = np.random.default_rng(11)
+    X = rng.uniform(-1, 1, (90, 3))
+    y = np.sin(2 * X.sum(1))
+    Xq = rng.uniform(-1, 1, (25, 3))
+    model = default_model(3)
+    fast = Predictor(model, X, y, precompute_inverse=True)
+    slow = Predictor(model, X, y, precompute_inverse=False)
+    assert fast.post.linv is not None and slow.post.linv is None
+    mu_f, var_f = fast(Xq)
+    mu_s, var_s = slow(Xq)
+    np.testing.assert_allclose(mu_f, mu_s, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(var_f, var_s, rtol=1e-8, atol=1e-11)
+    # auto mode precomputes at moderate n
+    auto = Predictor(model, X, y)
+    assert auto.post.linv is not None
