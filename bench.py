@@ -26,7 +26,7 @@ import numpy as np
 
 N = 4096
 D = 3
-REPS = 20
+REPS = 50
 
 
 def _problem():
@@ -71,20 +71,29 @@ def tpu_time() -> float:
     chain(flat).block_until_ready()  # compile
 
     # a blocking dispatch costs a variable host<->device round-trip
-    # (hundreds of ms over a tunnel); measure it with a null program
-    # and subtract so the result is device compute, not transport
+    # (tens to hundreds of ms over a tunnel, high variance); estimate
+    # it as the median of several null-program dispatches and subtract
+    # so the result is device compute, not transport
     @jax.jit
     def null(p):
         return jnp.sum(p) * 0.0
     null(flat).block_until_ready()
-    t0 = time.perf_counter()
-    null(flat + 2e-7).block_until_ready()
-    t_null = time.perf_counter() - t0
+    nulls = []
+    for k in range(5):
+        t0 = time.perf_counter()
+        null(flat + k * 1e-7).block_until_ready()
+        nulls.append(time.perf_counter() - t0)
+    t_null = float(np.median(nulls))
 
-    t0 = time.perf_counter()
-    chain(flat + 1e-7).block_until_ready()
-    t_total = time.perf_counter() - t0
-    return max(t_total - t_null, 1e-9) / REPS, float(val), t_null
+    totals = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        chain(flat + (k + 1) * 1e-7).block_until_ready()
+        totals.append(time.perf_counter() - t0)
+    t_total = float(np.median(totals))
+    if t_total - t_null <= 0:  # transport noise swamped the estimate
+        t_null = 0.0
+    return (t_total - t_null) / REPS, float(val), t_null
 
 
 def cpu_time() -> float:

@@ -1,9 +1,13 @@
 """Benchmark sweep: NLML+grad, Gram build, Cholesky, prediction
-throughput across N — writes benchmarks/results.json.
+throughput across N — merges rows into benchmarks/results.json.
 
-Run on the TPU (plain `python benchmarks/sweep.py`); each phase is
-timed with compile excluded. The achieved-TFLOP/s columns use the
-estimators in utils/profiling (BASELINE.md metric).
+Run on the TPU (plain `python benchmarks/sweep.py`). All phases are
+timed with `utils.profiling.chain_timeit`: serially-dependent
+on-device repetition chains with a median null-dispatch subtraction,
+so remote-transport pipelining/caching/elision cannot shrink the
+numbers (the method the hand-recorded "serialized_chain_n4096"
+section in results.json was measured with). Achieved-TFLOP/s columns
+use the estimators in utils/profiling (BASELINE.md metric).
 """
 
 from __future__ import annotations
@@ -11,7 +15,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -19,23 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(ns=(1024, 2048, 4096, 8192), reps=10):
+def main(ns=(1024, 2048, 4096), reps=10):
     import jax
     import jax.numpy as jnp
 
+    from gp_ss_ak_tpu.inference import gaussian
     from gp_ss_ak_tpu.model import default_model
-    from gp_ss_ak_tpu.ops.fused import maybe_fused_A
-    from gp_ss_ak_tpu.optim import flat_nlml_fn
     from gp_ss_ak_tpu.serve import Predictor
     from gp_ss_ak_tpu.utils import (
         achieved_tflops,
+        chain_timeit,
         cholesky_flops,
         gram_flops,
-        timeit_fn,
     )
 
     rng = np.random.default_rng(0)
-    results = {"backend": jax.default_backend(), "rows": []}
+    rows = []
     for n in ns:
         X = jnp.asarray(rng.uniform(-1, 1, size=(n, 3)), jnp.float32)
         y = jnp.asarray(np.sin(np.asarray(X) @ np.array(
@@ -44,22 +46,44 @@ def main(ns=(1024, 2048, 4096, 8192), reps=10):
         sn2 = model.lik_hypers[0]
         kern, params = model.kernel, model.kernel_params
 
-        gram = jax.jit(lambda X: maybe_fused_A(kern, params, sn2, X,
-                                               fused=None))
-        t_gram = timeit_fn(gram, X, reps=reps)
+        def gram_step(Xz, s):
+            from gp_ss_ak_tpu.ops.fused import maybe_fused_A
+            A = maybe_fused_A(kern, params, sn2, Xz + s * 1e-20)
+            if A is None:
+                K = kern.matrix(params, Xz + s * 1e-20, Xz, same=True)
+                A = K + sn2 * jnp.eye(n, dtype=K.dtype)
+            return jnp.sum(A) * 1e-9
+        t_gram = chain_timeit(gram_step, X, reps=reps)
 
-        A = gram(X)
-        with jax.default_matmul_precision("highest"):
-            chol = jax.jit(jnp.linalg.cholesky)
-        t_chol = timeit_fn(chol, A, reps=reps)
+        from gp_ss_ak_tpu.ops.fused import maybe_fused_A
+        A0 = maybe_fused_A(kern, params, sn2, X)
+        if A0 is None:
+            A0 = kern.matrix(params, X, X, same=True) + sn2 * jnp.eye(
+                n, dtype=jnp.float32)
+        t_chol = chain_timeit(
+            lambda Az, s: jnp.log(jnp.linalg.cholesky(
+                Az + s * 1e-20 * jnp.eye(n, dtype=Az.dtype))[0, 0]),
+            A0, reps=reps)
 
+        from gp_ss_ak_tpu.optim import flat_nlml_fn
         f = flat_nlml_fn(model)
-        vg = jax.jit(jax.value_and_grad(lambda p: f(p, X, y)))
-        t_vg = timeit_fn(lambda p: vg(p)[0], model.pack(), reps=reps)
+        vg = jax.value_and_grad(lambda p: f(p, X, y))
+        p0 = model.pack().astype(jnp.float32)
+
+        def vg_step(p, s):
+            v, g = vg(p + s * 1e-25)
+            return v * 1e-6 + jnp.sum(g) * 1e-9
+        t_vg = chain_timeit(vg_step, p0, reps=reps)
 
         server = Predictor(model, X, y)
         Xq = jnp.asarray(rng.uniform(-1, 1, size=(4096, 3)), jnp.float32)
-        t_pred = timeit_fn(server._predict, Xq, reps=reps)
+
+        def pred_step(Xz, s):
+            mu, var = gaussian.posterior_mean_var(
+                kern, params, model.lik_hypers, server.X, server.post,
+                Xz + s * 1e-20, model.likelihood)
+            return jnp.sum(mu) * 1e-6 + jnp.sum(var) * 1e-9
+        t_pred = chain_timeit(pred_step, Xq, reps=reps)
 
         row = {
             "n": n,
@@ -73,11 +97,17 @@ def main(ns=(1024, 2048, 4096, 8192), reps=10):
             "pred4096_ms": round(t_pred * 1e3, 3),
             "pred_per_s": round(4096 / t_pred, 0),
         }
-        results["rows"].append(row)
+        rows.append(row)
         print(json.dumps(row), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    results = {}
+    if os.path.exists(out):
+        with open(out) as fi:
+            results = json.load(fi)
+    results["backend"] = jax.default_backend()
+    results["rows_chain_timed"] = rows
     with open(out, "w") as fo:
         json.dump(results, fo, indent=1)
     print(f"wrote {out}")

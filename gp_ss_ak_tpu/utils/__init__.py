@@ -6,6 +6,7 @@ from gp_ss_ak_tpu.utils.profiling import (
     cholesky_flops,
     gram_flops,
     solve_flops,
+    chain_timeit,
     timeit_fn,
     trace,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "robust_cholesky",
     "is_spd_cholesky",
     "trace",
+    "chain_timeit",
     "timeit_fn",
     "gram_flops",
     "cholesky_flops",

@@ -56,3 +56,56 @@ def solve_flops(n: int, rhs: int) -> int:
 
 def achieved_tflops(flops: int, seconds: float) -> float:
     return flops / seconds / 1e12
+
+
+def chain_timeit(step: Callable, init, reps: int = 10,
+                 subtract_null: bool = True) -> float:
+    """Elision-proof per-call seconds for `step(z, s) -> f32 scalar`.
+
+    Runs `reps` serially-dependent evaluations inside ONE jitted
+    fori_loop (each call's input is perturbed by the running scalar
+    `s`, so no dispatch pipelining, transparent result caching, or
+    dead-code elimination can shrink the measurement — required over
+    remote-device transports, where the naive same-input loop was
+    observed to return in microseconds). Optionally subtracts a
+    measured null-dispatch round-trip so the result is device compute,
+    not transport latency. `init` must be a float array (the timed
+    invocation uses a slightly different input than the compile one).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(z):
+        def body(_, carry):
+            z, s = carry
+            return (z, s + step(z, s))
+        _, s = lax.fori_loop(0, reps, body,
+                             (z, jnp.asarray(0.0, jnp.float32)))
+        return s
+    jax.block_until_ready(chain(init))  # compile
+
+    t_null = 0.0
+    if subtract_null:
+        # median of several null dispatches: the round-trip itself has
+        # high variance over a tunnel
+        null = jax.jit(lambda z: jnp.float32(0) * z.ravel()[0])
+        jax.block_until_ready(null(init))
+        samples = []
+        for k in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(null(init + (k + 2) * 1e-7))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        t_null = samples[len(samples) // 2]
+
+    totals = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(init + (k + 1) * 1e-7))
+        totals.append(time.perf_counter() - t0)
+    totals.sort()
+    t_total = totals[len(totals) // 2]
+    if t_total - t_null <= 0:  # transport noise swamped the estimate
+        t_null = 0.0
+    return (t_total - t_null) / reps
