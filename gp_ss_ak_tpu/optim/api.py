@@ -83,8 +83,19 @@ def fit(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 10,
     resume: bool = True,
+    engine: str = "auto",
+    engine_opts: Optional[dict] = None,
 ) -> Tuple[GPModel, OptResult]:
     """Maximize the marginal likelihood over the box [1e-4, 6]^p.
+
+    `engine` selects how the objective is evaluated:
+      - "dense":     exact Cholesky NLML (inference/gaussian.py)
+      - "iterative": matrix-free CG + SLQ (optim/iterative_fit.py) —
+                     the Gram matrix never exists; flagship model only
+      - "auto":      iterative when N > DENSE_MAX_N and the model
+                     supports it, dense otherwise
+    `engine_opts` are forwarded to make_iterative_value_and_grad
+    (probes, lanczos_iters, cg_tol, chunk, tile sizes, seed).
 
     With `checkpoint_path`, the flat hyper vector is saved every
     `checkpoint_every` iterations and (if `resume`) restored as the
@@ -107,9 +118,31 @@ def fit(
     p = x0.shape[0]
     lb = np.full(p, DEFAULT_LOWER) if lower is None else np.asarray(lower)
     ub = np.full(p, DEFAULT_UPPER) if upper is None else np.asarray(upper)
-    vgrad = make_value_and_grad(model, X, y, jitter)
+
+    from gp_ss_ak_tpu.optim.iterative_fit import (
+        DENSE_MAX_N,
+        make_iterative_value_and_grad,
+        supports_iterative,
+    )
+
+    eng = engine.lower()
+    n_data = int(np.shape(X)[0])
+    if eng == "auto":
+        eng = ("iterative" if n_data > DENSE_MAX_N
+               and supports_iterative(model) else "dense")
+    if eng == "iterative":
+        vgrad = make_iterative_value_and_grad(model, X, y,
+                                              **(engine_opts or {}))
+    elif eng == "dense":
+        vgrad = make_value_and_grad(model, X, y, jitter)
+    else:
+        raise ValueError(f"Unrecognised engine: {engine}")
 
     name = optimizer.upper()
+    if eng == "iterative" and name in ("JIT", "LBFGS-JIT", "DEVICE"):
+        # the matrix-free objective is already one device program per
+        # evaluation; drive it with the host L-BFGS-B
+        name = "LBFGS"
     if name in ("JIT", "LBFGS-JIT", "DEVICE"):
         # whole fit compiled into ONE device program (optim/jax_lbfgs):
         # no host<->device round-trip per evaluation — the fast path

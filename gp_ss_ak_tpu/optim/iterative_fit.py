@@ -1,0 +1,104 @@
+"""Matrix-free fit engine: hyperparameter value_and_grad in the FLAT
+space via CG + stochastic Lanczos (inference/iterative.py), chained
+back through the metric map so the box-constrained optimizers
+(optim/lbfgsb.py, optim/scg.py) can drive it unchanged.
+
+This is the large-N training route (N ~ 10^4..10^5+ on one chip) for
+the CLI's flagship model — Sum([ExpAns, Bias]) with a Gaussian
+likelihood (gp_ss_ak.cpp:146-190) — where the dense NLML
+(inference/gaussian.py) cannot hold the N x N Gram matrix. The chain
+rule split:
+
+  flat = [8 ExpAns params, bias, sn2]
+  Xm(angles, widths)  = (X - mean X) @ M            (ops/fused.py)
+  NLML(Xm, sigma, bias, sn2)                        (iterative.py)
+  d NLML/d angles,widths = vjp of Xm pullback of d NLML/d Xm
+  d NLML/d sigma,bias,sn2 = direct from grad_iterative
+
+The SLQ logdet and Hutchinson trace use a PRNG key FIXED per fit, so
+the objective seen by the line search is deterministic (a biased but
+self-consistent estimate — the standard BBMM/GPyTorch trick).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_ss_ak_tpu.inference.iterative import (
+    IterativeGP,
+    grad_iterative,
+    nlml_iterative,
+)
+from gp_ss_ak_tpu.inference.likelihoods import Gaussian
+from gp_ss_ak_tpu.model import GPModel
+from gp_ss_ak_tpu.ops.fused import _is_flagship, mapped_points
+
+#: above this N, fit(engine="auto") prefers the matrix-free route
+#: (dense needs several N^2 f32 buffers: ~3 GB of HBM per buffer at
+#: N=16k is still fine; 32k+ is not, and compile+chol time grows N^3)
+DENSE_MAX_N = 16384
+
+
+def supports_iterative(model: GPModel) -> bool:
+    return _is_flagship(model.kernel) and isinstance(
+        model.likelihood, Gaussian)
+
+
+def make_iterative_value_and_grad(
+    model: GPModel,
+    X,
+    y,
+    seed: int = 0,
+    probes: int = 8,
+    lanczos_iters: int = 32,
+    cg_tol: float = 1e-4,
+    cg_maxiter: int = 800,
+    chunk: int = 1024,
+    tm: int = 512,
+    tn: int = 512,
+    interpret=None,
+):
+    """Host-callable (f, g) over ONE jitted matrix-free TPU program."""
+    if not supports_iterative(model):
+        raise ValueError(
+            "iterative engine supports only Sum([ExpAns, Bias]) + "
+            f"Gaussian likelihood; got {model.kernel!r} / "
+            f"{type(model.likelihood).__name__}")
+    kernel = model.kernel
+    expans = kernel.children[0]
+    nk = kernel.n_params
+    Xd = jnp.asarray(X, jnp.float32)
+    yd = jnp.asarray(y, jnp.float32)
+    key_logdet, key_trace = jax.random.split(jax.random.PRNGKey(seed))
+
+    def vg(flat):
+        flat = flat.astype(jnp.float32)
+        ep, bp = kernel.unpack(flat[:nk])
+        sn2 = flat[nk]
+        Xm, pullback = jax.vjp(lambda e: mapped_points(expans, e, Xd), ep)
+        it_gp = IterativeGP(Xm=Xm, sigma=ep["Sigma"], bias=bp["Sigma"],
+                            sn2=sn2)
+        val, alpha, _ = nlml_iterative(
+            it_gp, yd, key_logdet, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            probes=probes, lanczos_iters=lanczos_iters, tm=tm, tn=tn,
+            interpret=interpret)
+        ds, db, dsn2, dXm = grad_iterative(
+            it_gp, yd, key_trace, alpha=alpha, probes=probes,
+            cg_tol=cg_tol, cg_maxiter=cg_maxiter, chunk=chunk, tm=tm,
+            tn=tn, interpret=interpret)
+        (d_ep,) = pullback(dXm)
+        d_ep = dict(d_ep)
+        d_ep["Sigma"] = d_ep["Sigma"] + ds
+        g_kernel = kernel.pack((d_ep, {"Sigma": db}))
+        g = jnp.concatenate([g_kernel, jnp.reshape(dsn2, (1,))])
+        return val, g
+
+    jitted = jax.jit(vg)
+
+    def value_and_grad(x_np: np.ndarray):
+        v, g = jitted(jnp.asarray(x_np, jnp.float32))
+        return float(v), np.asarray(g, np.float64)
+
+    return value_and_grad

@@ -123,3 +123,60 @@ class TestIterativeNLML:
             else:
                 assert abs(got - want) < 5.0
 
+
+
+class TestIterativeFitEngine:
+    """optim.fit(engine="iterative") — the matrix-free training route."""
+
+    OPTS = dict(probes=16, lanczos_iters=40, cg_tol=1e-5,
+                cg_maxiter=400, chunk=64, tm=128, tn=128)
+
+    def test_value_and_grad_matches_dense(self):
+        from gp_ss_ak_tpu.optim.api import make_value_and_grad
+        from gp_ss_ak_tpu.optim.iterative_fit import (
+            make_iterative_value_and_grad,
+        )
+
+        model, X, y, _ = setup(n=256)
+        x0 = np.asarray(model.pack(), np.float64)
+        f_it, g_it = make_iterative_value_and_grad(
+            model, X, y, seed=3, **self.OPTS)(x0)
+        f_d, g_d = make_value_and_grad(model, X, y)(x0)
+        assert f_it == pytest.approx(f_d, rel=0.02, abs=5.0)
+        cos = float(np.dot(g_it, g_d)
+                    / (np.linalg.norm(g_it) * np.linalg.norm(g_d)))
+        assert cos > 0.8
+        # a step along -g_it must descend the TRUE (dense) objective
+        step = 1e-3 / max(np.linalg.norm(g_it), 1.0)
+        f_after, _ = make_value_and_grad(model, X, y)(x0 - step * g_it)
+        assert f_after < f_d
+
+    def test_fit_improves_dense_nlml(self):
+        from gp_ss_ak_tpu.optim.api import fit, make_value_and_grad
+
+        model, X, y, _ = setup(n=256)
+        x0 = np.asarray(model.pack(), np.float64)
+        dense_vg = make_value_and_grad(model, X, y)
+        f0, _ = dense_vg(x0)
+        fitted, res = fit(model, X, y, optimizer="LBFGS", iters=6,
+                          engine="iterative", engine_opts=self.OPTS)
+        f1, _ = dense_vg(np.asarray(fitted.pack(), np.float64))
+        assert f1 < f0
+
+    def test_unsupported_model_raises(self):
+        from gp_ss_ak_tpu.kernels import make_kernel
+        from gp_ss_ak_tpu.model import GPModel
+        from gp_ss_ak_tpu.inference.likelihoods import Gaussian
+        from gp_ss_ak_tpu.optim.iterative_fit import (
+            make_iterative_value_and_grad,
+            supports_iterative,
+        )
+
+        k = make_kernel("RBF")
+        model = GPModel(kernel=k, kernel_params=k.init_params(),
+                        likelihood=Gaussian(),
+                        lik_hypers=jnp.asarray([0.016]))
+        assert not supports_iterative(model)
+        with pytest.raises(ValueError):
+            make_iterative_value_and_grad(model, np.zeros((4, 3)),
+                                          np.zeros(4))
