@@ -61,6 +61,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     "(replaces the reference's stdin prompts)")
     tr.add_argument("--init-lik", type=float, default=None,
                     help="initial likelihood noise variance sn2")
+    tr.add_argument("--engine", default="auto",
+                    choices=("auto", "dense", "iterative"),
+                    help="NLML engine: dense Cholesky, matrix-free "
+                         "CG+SLQ (large N), or auto by data size")
     tr.add_argument("--float64", action="store_true",
                     help="fit in float64 (CPU backends)")
     tr.add_argument("train_file")
@@ -152,7 +156,8 @@ def cmd_train(args) -> int:
     logger = FitLogger(verbose=max(0, args.verbose - 1),
                        path=args.model_name + "_metrics.json")
     fitted, res = fit(model, Xs, ys, optimizer=args.optimiser,
-                      iters=args.iters, callback=logger)
+                      iters=args.iters, callback=logger,
+                      engine=getattr(args, "engine", "auto"))
     logger.save()
     if args.verbose > 0:
         print(f"-logL: {res.trace[0]:.6f} -> {res.fun:.6f} "

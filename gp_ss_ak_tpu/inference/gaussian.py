@@ -163,16 +163,27 @@ def nlml(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
 
 
 def posterior_mean_var(kernel, params, lik_hypers, X, post: Posterior,
-                       Xstar, likelihood=Gaussian(), full_cov: bool = False):
+                       Xstar, likelihood=Gaussian(), full_cov: bool = False,
+                       fused: bool = None):
     """Latent+noise predictive mean/variance at Xstar.
 
     Mirrors posteriorMeanVar (GP_Utils.cpp:943-1080): cross-kernel,
     mu = kX^T alpha, whitened solve for the variance with a clamp at 0,
     then + observation noise; warped models push the Gaussian through
     g^{-1} with 20-node Gauss-Hermite quadrature.
+
+    The cross-Gram dispatches to the fused Pallas kernel (ops/fused.py)
+    for the flagship model on TPU when the tile is worth it; pass
+    fused=True/False to force either path.
     """
+    from gp_ss_ak_tpu.ops.fused import _on_tpu, fused_cross_gram
+
+    if fused is None:
+        fused = _on_tpu() and X.shape[0] * jnp.shape(Xstar)[0] >= 512 * 512
     with jax.default_matmul_precision("highest"):
-        kX = kernel.matrix(params, X, Xstar, same=False)   # (n, m)
+        kX = fused_cross_gram(kernel, params, X, Xstar) if fused else None
+        if kX is None:
+            kX = kernel.matrix(params, X, Xstar, same=False)   # (n, m)
         mu = kX.T @ post.alpha
         kdiag = kernel.diag(params, Xstar)
         if post.linv is not None:
