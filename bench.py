@@ -96,51 +96,111 @@ def tpu_time() -> float:
     return (t_total - t_null) / REPS, float(val), t_null
 
 
-def cpu_time() -> float:
-    """NumPy float64 NLML + gradient via the same QW-contraction math
-    the reference uses (GP_Utils.cpp:1164-1220), fully BLAS-backed."""
+def _rotation_and_derivs(a, b, t):
+    """R(alpha, beta, teta) per Kernel.cpp:1402-1410 plus dR/dangle."""
+    ca, sa, cb, sb, ct, st = (math.cos(a), math.sin(a), math.cos(b),
+                              math.sin(b), math.cos(t), math.sin(t))
+    R = np.array([
+        [ca * ct + sa * sb * st, -sa * ct + ca * sb * st, -cb * st],
+        [sa * cb, ca * cb, sb],
+        [ca * st - sa * sb * ct, -sa * st - ca * sb * ct, cb * ct],
+    ])
+    dRa = np.array([
+        [-sa * ct + ca * sb * st, -ca * ct - sa * sb * st, 0.0],
+        [ca * cb, -sa * cb, 0.0],
+        [-sa * st - ca * sb * ct, -ca * st + sa * sb * ct, 0.0],
+    ])
+    dRb = np.array([
+        [sa * cb * st, ca * cb * st, sb * st],
+        [-sa * sb, -ca * sb, cb],
+        [-sa * cb * ct, -ca * cb * ct, -sb * ct],
+    ])
+    dRt = np.array([
+        [-ca * st + sa * sb * ct, sa * st + ca * sb * ct, -cb * ct],
+        [0.0, 0.0, 0.0],
+        [ca * ct + sa * sb * st, -sa * ct + ca * sb * st, -cb * st],
+    ])
+    return R, (dRa, dRb, dRt)
+
+
+def cpu_nlml_grad(X, y, p):
+    """NumPy float64 NLML + the REAL analytic gradient for every one of
+    the 10 hyperparameters of the flagship ExpAns+Bias model, via the
+    reference's QW-contraction structure (GP_Utils.cpp:1164-1220 for
+    QW; Kernel.cpp:1176-1257 for the per-parameter distance-derivative
+    matrices Di2). Fully BLAS-backed; each metric parameter costs one
+    N x N GEMM plus an N^2 contraction — the same asymptotic work the
+    reference does per parameter."""
+    n = X.shape[0]
+    R, dRs = _rotation_and_derivs(p["AngleX"], p["AngleY"], p["AngleZ"])
+    lam = np.diag([p["iwx"], p["iwy"], p["iwz"]])
+    M = R @ lam @ R.T
+    A1 = X @ M
+    sq = (A1 * A1).sum(1)
+    D2 = sq[:, None] + sq[None, :] - 2.0 * A1 @ A1.T
+    np.maximum(D2, 0.0, out=D2)
+    np.fill_diagonal(D2, 0.0)
+    sqrtD = np.sqrt(D2)
+    E = np.exp(-sqrtD)
+    sig2 = p["sigma"] ** 2
+    K = sig2 * E + p["bias"]
+    A = K + p["sn2"] * np.eye(n)
+    L = np.linalg.cholesky(A)
+    alpha = np.linalg.solve(A, y)
+    nl = (0.5 * y @ alpha + np.log(np.diag(L)).sum()
+          + 0.5 * n * math.log(2 * math.pi))
+    Ainv = np.linalg.inv(A)
+    QW = Ainv - np.outer(alpha, alpha)
+
+    # dK/dD2 = -sig2 E / (2 sqrt(D2)), diagonal zeroed (the reference's
+    # 0/0 dodge, Kernel.cpp:670-672 / 1181)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dK_dD2 = np.where(sqrtD > 0.0, -sig2 * E / (2.0 * sqrtD), 0.0)
+    W = QW * dK_dD2  # shared contraction weights for all metric params
+
+    def metric_grad(dM):
+        # dD2/dtheta = 2 (u 1^T + 1 u^T - A1 dA1^T - dA1 A1^T),
+        # u_i = A1_i . dA1_i  — one N^2 GEMM per parameter
+        dA1 = X @ dM
+        u = (A1 * dA1).sum(1)
+        cross = A1 @ dA1.T
+        di2 = u[:, None] + u[None, :] - cross - cross.T
+        return 0.5 * 2.0 * np.sum(W * di2)
+
+    grads = []
+    for dR in dRs:  # angles: dM = dR lam R^T + R lam dR^T
+        dM = dR @ lam @ R.T + R @ lam @ dR.T
+        grads.append(metric_grad(dM))
+    for k in range(3):  # inverse widths: dM = R e_k e_k^T R^T
+        dlam = np.zeros((3, 3))
+        dlam[k, k] = 1.0
+        grads.append(metric_grad(R @ dlam @ R.T))
+    grads.append(0.5 * np.sum(QW * (2.0 * p["sigma"] * E)))  # sigma
+    grads.append(0.0)                                        # iwr (3-D data)
+    grads.append(0.5 * np.sum(QW))                           # bias
+    grads.append(0.5 * np.trace(QW))                         # sn2
+    return nl, np.asarray(grads)
+
+
+def cpu_time(reps: int = 3):
+    """Median of `reps` full NLML+gradient evaluations."""
     X, y = _problem()
     p = {
         "AngleX": math.pi / 3.1, "AngleY": math.pi / 3.1,
         "AngleZ": math.pi / 3.1, "iwx": 1.5, "iwy": 1.5, "iwz": 1.3,
         "sigma": 0.9, "iwr": 0.6, "bias": 0.2, "sn2": 0.016,
     }
-
-    def nlml_grad():
-        a, b, t = p["AngleX"], p["AngleY"], p["AngleZ"]
-        ca, sa, cb, sb, ct, st = (math.cos(a), math.sin(a), math.cos(b),
-                                  math.sin(b), math.cos(t), math.sin(t))
-        R = np.array([
-            [ca * ct + sa * sb * st, -sa * ct + ca * sb * st, -cb * st],
-            [sa * cb, ca * cb, sb],
-            [ca * st - sa * sb * ct, -sa * st - ca * sb * ct, cb * ct],
-        ])
-        M = R @ np.diag([p["iwx"], p["iwy"], p["iwz"]]) @ R.T
-        A1 = X @ M
-        D2 = ((A1 * A1).sum(1)[:, None] + (A1 * A1).sum(1)[None, :]
-              - 2.0 * A1 @ A1.T)
-        np.maximum(D2, 0.0, out=D2)
-        np.fill_diagonal(D2, 0.0)
-        K = p["sigma"] ** 2 * np.exp(-np.sqrt(D2)) + p["bias"]
-        A = K + p["sn2"] * np.eye(N)
-        L = np.linalg.cholesky(A)
-        alpha = np.linalg.solve(A, y)
-        nl = (0.5 * y @ alpha + np.log(np.diag(L)).sum()
-              + 0.5 * N * math.log(2 * math.pi))
-        # gradient: QW contraction against dA/dtheta for all 10 hypers
-        Ainv = np.linalg.inv(A)
-        QW = Ainv - np.outer(alpha, alpha)
-        # representative per-hyper contractions (10 N^2 reductions)
-        grads = [0.5 * np.sum(QW * K) for _ in range(10)]
-        return nl, grads
-
-    # warm BLAS/threads with a small factorization so the timed run
-    # measures steady-state LAPACK, not one-time init/page faults
+    # warm BLAS/threads with a small factorization so the timed runs
+    # measure steady-state LAPACK, not one-time init/page faults
     w = np.linalg.cholesky(np.eye(512) + 0.1)
     _ = np.linalg.inv(np.eye(512) + np.outer(w[:, 0], w[:, 0]))
-    t0 = time.perf_counter()
-    nl, _ = nlml_grad()
-    return time.perf_counter() - t0, nl
+    times = []
+    nl = float("nan")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        nl, _g = cpu_nlml_grad(X, y, p)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), nl
 
 
 def main():

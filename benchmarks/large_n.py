@@ -1,0 +1,210 @@
+"""Large-N demonstration on the real TPU (BASELINE config 3 axis).
+
+Runs the matrix-free engine (optim/iterative_fit.py — streaming Pallas
+Gram matvec + CG + SLQ, the scaled-up version of the reference's hot
+loop GP_Utils.cpp:872-915 / Kernel.cpp:1370-1435) at
+N = 16384..131072 on one chip:
+
+  * per-evaluation NLML+gradient wall time (chain-timed where
+    affordable, else median of blocking calls),
+  * CG iteration counts,
+  * an accuracy cross-check of the iterative NLML against the dense
+    engine (same chip, f32) at CROSSCHECK_N and against the f64
+    NumPy oracle (bench.cpu_nlml_grad),
+  * a short L-BFGS fit at FIT_N to give an honest fit-wall-clock row.
+
+Writes/merges results into benchmarks/results.json under "large_n".
+
+Usage (on the TPU host): python benchmarks/large_n.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RESULTS = os.path.join(HERE, "results.json")
+
+SIZES = [16384, 32768, 65536, 131072]
+CROSSCHECK_N = 8192
+FIT_N = 32768
+FIT_ITERS = 10
+
+
+def _problem(n, d=3, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-1.0, 1.0, size=(n, d)).astype(np.float32)
+    y = np.sin(X @ np.array([3.0, 1.0, 2.0], np.float32)) \
+        + 0.1 * rng.standard_normal(n).astype(np.float32)
+    return X, y
+
+
+def _model(d=3):
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.model import default_model
+
+    return default_model(input_dim=d, dtype=jnp.float32)
+
+
+def eval_row(n, reps=5):
+    """Median blocking-call time for one matrix-free NLML+grad at N."""
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.optim.iterative_fit import (
+        make_iterative_value_and_grad,
+    )
+
+    X, y = _problem(n)
+    model = _model()
+    vg = make_iterative_value_and_grad(model, X, y)
+    flat = np.asarray(model.pack(), np.float64)
+
+    t0 = time.perf_counter()
+    v, g = vg(flat)
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(v), f"N={n}: NLML not finite"
+    assert np.isfinite(g).all(), f"N={n}: grad not finite"
+
+    times = []
+    for r in range(reps):
+        # perturb the input so transparent caching can't elide the call
+        f = flat * (1.0 + 1e-4 * (r + 1))
+        t0 = time.perf_counter()
+        v2, _ = vg(f)
+        times.append(time.perf_counter() - t0)
+    return {
+        "n": n,
+        "nlml": float(v),
+        "compile_s": round(compile_s, 2),
+        "nlml_grad_ms_median": round(1e3 * float(np.median(times)), 2),
+        "nlml_grad_ms_all": [round(1e3 * t, 2) for t in times],
+    }
+
+
+def crosscheck(n=CROSSCHECK_N):
+    """Iterative f32 NLML vs dense f32 (same chip) vs f64 oracle."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.optim import flat_nlml_fn
+    from gp_ss_ak_tpu.optim.iterative_fit import (
+        make_iterative_value_and_grad,
+    )
+
+    X, y = _problem(n)
+    model = _model()
+    flat = np.asarray(model.pack(), np.float64)
+
+    out = {"n": n}
+    vg_it = make_iterative_value_and_grad(model, X, y)
+    v_it, _ = vg_it(flat)
+    out["nlml_iterative_f32"] = float(v_it)
+
+    # f64 oracle (bench.cpu_nlml_grad — finite-difference-validated)
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(HERE, "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    p = {"AngleX": math.pi / 3.1, "AngleY": math.pi / 3.1,
+         "AngleZ": math.pi / 3.1, "iwx": 1.5, "iwy": 1.5, "iwz": 1.3,
+         "sigma": 0.9, "iwr": 0.6, "bias": 0.2, "sn2": 0.016}
+    t0 = time.perf_counter()
+    nl64, _ = bench.cpu_nlml_grad(X.astype(np.float64),
+                                  y.astype(np.float64), p)
+    out["cpu_f64_oracle_nlml"] = float(nl64)
+    out["cpu_f64_oracle_s"] = round(time.perf_counter() - t0, 1)
+    out["iterative_vs_f64_rel"] = abs(float(v_it) - nl64) / abs(nl64)
+
+    # dense f32 on-chip (may be slow to compile at this N; guarded)
+    try:
+        f = flat_nlml_fn(model)
+        Xd = jnp.asarray(X)
+        yd = jnp.asarray(y)
+        v_dense = float(jax.jit(lambda t: f(t, Xd, yd))(
+            jnp.asarray(flat, jnp.float32)))
+        out["nlml_dense_f32"] = v_dense
+        out["iterative_vs_dense_rel"] = abs(float(v_it) - v_dense) / abs(
+            v_dense)
+    except Exception as e:  # noqa: BLE001 - record and continue
+        out["nlml_dense_f32"] = None
+        out["dense_error"] = str(e)[:200]
+    return out
+
+
+def fit_row(n=FIT_N, iters=FIT_ITERS):
+    from gp_ss_ak_tpu.optim import fit
+
+    X, y = _problem(n)
+    model = _model()
+    t0 = time.perf_counter()
+    fitted, res = fit(model, X, y, engine="iterative", iters=iters)
+    wall = time.perf_counter() - t0
+    return {
+        "n": n,
+        "iters": int(res.n_iters),
+        "evals": int(res.n_evals),
+        "fit_wall_s": round(wall, 1),
+        "nlml_start": float(res.trace[0]),
+        "nlml_final": float(res.fun),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="16k + 32k only, no fit")
+    ap.add_argument("--sizes", default=None,
+                    help="comma-separated N list override")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes
+             else (SIZES[:2] if args.quick else SIZES))
+
+    out = {"backend": backend, "rows": [], "ts": time.strftime("%F %T")}
+    for n in sizes:
+        try:
+            row = eval_row(n)
+            print(json.dumps(row))
+            out["rows"].append(row)
+        except Exception as e:  # noqa: BLE001 - record partial progress
+            out["rows"].append({"n": n, "error": str(e)[:300]})
+            print(f"N={n} failed: {e}")
+            break
+
+    try:
+        out["crosscheck"] = crosscheck()
+        print(json.dumps(out["crosscheck"]))
+    except Exception as e:  # noqa: BLE001
+        out["crosscheck"] = {"error": str(e)[:300]}
+
+    if not args.quick:
+        try:
+            out["fit"] = fit_row()
+            print(json.dumps(out["fit"]))
+        except Exception as e:  # noqa: BLE001
+            out["fit"] = {"error": str(e)[:300]}
+
+    data = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            data = json.load(f)
+    data["large_n"] = out
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"wrote large_n -> {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,8 @@
 """Bayesian hyperposteriors: HMC / iterative NUTS + predictive mixing."""
 
 from gp_ss_ak_tpu.bayes.api import predictive_mixture, sample_hyperposterior
-from gp_ss_ak_tpu.bayes.diagnostics import ess_bulk, split_rhat, summarize
+from gp_ss_ak_tpu.bayes.diagnostics import (ess_bulk, ess_tail, split_rhat,
+                                            summarize)
 from gp_ss_ak_tpu.bayes.hmc import hmc_sample, nuts_sample
 from gp_ss_ak_tpu.bayes.priors import (
     BoxTransform,
@@ -17,6 +18,7 @@ __all__ = [
     "hmc_sample",
     "split_rhat",
     "ess_bulk",
+    "ess_tail",
     "summarize",
     "nuts_sample",
     "BoxTransform",

@@ -40,22 +40,56 @@ def sample_hyperposterior(
     log_prior=None,
     mesh=None,
     nlml_fn=None,
+    nlml_value_and_grad=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (samples, accept_stats): samples has shape
     (n_chains, n_samples, n_params) in CONSTRAINED theta space.
 
     `nlml_fn` (flat_theta -> scalar NLML) overrides the dense
-    objective — pass a closure over parallel.make_dist_nlml_and_grad's
-    value to run every leapfrog's O(N^3) on the sharded pipeline
-    (chains then run sequentially; chain-parallelism and
-    data-parallelism trade off against device memory).
+    objective with something jax.grad can differentiate.
+
+    `nlml_value_and_grad` (flat_theta -> (NLML, grad)) is the hook for
+    objectives whose gradient is computed EXPLICITLY — pass
+    parallel.make_dist_nlml_and_grad's function (closed over the
+    sharded X, y) to run every leapfrog's O(N^3) on the mesh pipeline.
+    It is wrapped in a custom VJP, so the sampler's
+    jax.value_and_grad never reverse-differentiates the fori_loop
+    block Cholesky (which would be both wrong-memory and slow).
+    Chains then run SEQUENTIALLY (the mesh is busy with the data
+    axis); `mesh=` chain sharding and this hook are mutually
+    exclusive.
     """
     dtype = jnp.result_type(model.pack())
     Xd = jnp.asarray(X, dtype)
     yd = jnp.asarray(y, dtype)
     p = model.n_params
     box = box or default_box(p, dtype)
-    if nlml_fn is None:
+    sequential = False
+    if nlml_value_and_grad is not None:
+        if nlml_fn is not None:
+            raise ValueError("pass nlml_fn or nlml_value_and_grad, "
+                             "not both")
+        if mesh is not None:
+            raise ValueError("nlml_value_and_grad occupies the mesh "
+                             "with the data axis; chain sharding "
+                             "(mesh=) cannot be combined with it")
+        sequential = True
+
+        @jax.custom_vjp
+        def _nlml_cv(t):
+            v, _ = nlml_value_and_grad(t)
+            return v
+
+        def _cv_fwd(t):
+            v, g = nlml_value_and_grad(t)
+            return v, g
+
+        def _cv_bwd(g, ct):
+            return (ct * g,)
+
+        _nlml_cv.defvjp(_cv_fwd, _cv_bwd)
+        nlml_fn = _nlml_cv
+    elif nlml_fn is None:
         f = flat_nlml_fn(model)
         nlml_fn = lambda t: f(t, Xd, yd)  # noqa: E731
     log_post = make_log_posterior(nlml_fn, box, log_prior)
@@ -66,18 +100,29 @@ def sample_hyperposterior(
         keys[0], (n_chains, p), dtype)
 
     run = _hmc.nuts_sample if sampler == "nuts" else _hmc.hmc_sample
-    chain = jax.jit(jax.vmap(
-        lambda z, k: run(log_post, z, k, n_samples=n_samples,
-                         n_warmup=n_warmup)))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        ax = mesh.axis_names[0]
-        z0 = jax.device_put(z0, NamedSharding(mesh, P(ax)))
-        ck = jax.device_put(keys[1:], NamedSharding(mesh, P(ax)))
+    if sequential:
+        # one chain at a time: each leapfrog already spans the mesh
+        zs, aps_l = [], []
+        for c in range(n_chains):
+            z_s, ap = run(log_post, z0[c], keys[1 + c],
+                          n_samples=n_samples, n_warmup=n_warmup)
+            zs.append(z_s)
+            aps_l.append(ap)
+        z_samps = jnp.stack(zs)
+        aps = jnp.stack(aps_l)
     else:
-        ck = keys[1:]
-    z_samps, aps = chain(z0, ck)
+        chain = jax.jit(jax.vmap(
+            lambda z, k: run(log_post, z, k, n_samples=n_samples,
+                             n_warmup=n_warmup)))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = mesh.axis_names[0]
+            z0 = jax.device_put(z0, NamedSharding(mesh, P(ax)))
+            ck = jax.device_put(keys[1:], NamedSharding(mesh, P(ax)))
+        else:
+            ck = keys[1:]
+        z_samps, aps = chain(z0, ck)
     theta = jax.vmap(jax.vmap(box.forward))(z_samps)
     return theta, aps
 

@@ -64,9 +64,11 @@ def _build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--engine", default="auto",
                     choices=("auto", "dense", "iterative"),
                     help="NLML engine: dense Cholesky, matrix-free "
-                         "CG+SLQ (large N), or auto by data size")
+                         "CG+SLQ (large N; float32-only), or auto by "
+                         "data size")
     tr.add_argument("--float64", action="store_true",
-                    help="fit in float64 (CPU backends)")
+                    help="fit in float64 (CPU backends; ignored by "
+                         "the iterative engine, which is float32-only)")
     tr.add_argument("train_file")
     tr.add_argument("model_name", nargs="?", default="gp_model")
 
@@ -153,6 +155,9 @@ def cmd_train(args) -> int:
               f"{args.optimiser} ({args.iters} iters)")
     from gp_ss_ak_tpu.utils import FitLogger
 
+    if args.float64 and getattr(args, "engine", "auto") == "iterative":
+        print("Warning: --float64 is ignored by the iterative engine "
+              "(matrix-free CG/SLQ runs in float32)", file=sys.stderr)
     logger = FitLogger(verbose=max(0, args.verbose - 1),
                        path=args.model_name + "_metrics.json")
     fitted, res = fit(model, Xs, ys, optimizer=args.optimiser,

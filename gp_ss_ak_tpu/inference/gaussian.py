@@ -48,6 +48,8 @@ class Posterior(NamedTuple):
     linv: jnp.ndarray = None   # optional (n, n) L^-1: serving fast path
     # (turns the per-batch O(n^2 m) triangular solve into one MXU GEMM;
     # precomputed once by serve.Predictor)
+    nugget: jnp.ndarray = None  # extra diagonal added by robust
+    # factorization (utils/psd.py jitter-retry); None on the plain path
 
 
 def _gram(kernel, params, X, jitter: float = 0.0):
@@ -58,7 +60,8 @@ def _gram(kernel, params, X, jitter: float = 0.0):
 
 
 def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
-              jitter: float = 0.0, fused: bool = None) -> Posterior:
+              jitter: float = 0.0, fused: bool = None,
+              robust: bool = False) -> Posterior:
     """Build alpha and the Cholesky factor of A = K + sn2 I.
 
     The flagship ExpAns+Bias model routes the A build through the
@@ -67,6 +70,13 @@ def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
     XLA's blocked Cholesky and triangular solves are dot_general-based,
     and the TPU's default bf16 MXU precision destroys
     positive-definiteness at f32 dtypes.
+
+    `robust=True` swaps the plain Cholesky for the jitter-retry
+    factorization (utils/psd.py): on failure the diagonal nugget is
+    escalated geometrically instead of propagating NaN — the serving
+    counterpart of the reference's Chol_fail -> NaN -> reject-step
+    protocol (GP_Utils.cpp:884-887). The added nugget is reported in
+    Posterior.nugget.
     """
     from gp_ss_ak_tpu.ops.fused import maybe_fused_A
 
@@ -82,10 +92,16 @@ def factorize(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
         if A is None:
             K = _gram(kernel, params, X, jitter)
             A = K + sn2 * jnp.eye(n, dtype=K.dtype)
-        L = _cholesky(A)  # NaN rows on failure -> NaN objective
+        if robust:
+            from gp_ss_ak_tpu.utils.psd import robust_cholesky
+
+            L, nugget = robust_cholesky(A)
+        else:
+            L = _cholesky(A)  # NaN rows on failure -> NaN objective
+            nugget = None
         alpha = jax.scipy.linalg.cho_solve((L, True), gy)
     return Posterior(alpha=alpha, chol=L, gy=gy, lgpy=lgpy,
-                     y_max=jnp.max(y))
+                     y_max=jnp.max(y), nugget=nugget)
 
 
 @jax.custom_vjp

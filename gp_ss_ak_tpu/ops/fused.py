@@ -61,6 +61,40 @@ def _bwd(res, G):
 fused_expans_bias_A.defvjp(_fwd, _bwd)
 
 
+@jax.custom_vjp
+def fused_expans_bias_cross(Xmi, Xmj, sigma, bias):
+    """K = sigma^2 exp(-||xi - xj||) + bias over two mapped point sets
+    (no diagonal term) — the row-block build for the mesh-sharded NLML
+    (parallel/nlml.py) and serving cross-Grams, differentiable."""
+    return expans_bias_gram(Xmi, sigma, bias, None, Xm2=Xmj)
+
+
+def _cross_fwd(Xmi, Xmj, sigma, bias):
+    return fused_expans_bias_cross(Xmi, Xmj, sigma, bias), (
+        Xmi, Xmj, sigma)
+
+
+def _cross_bwd(res, G):
+    Xmi, Xmj, sigma = res
+    d2 = gram_sqdist(Xmi, Xmj, same=False)
+    r = safe_sqrt(d2)
+    E = jnp.exp(-r)
+    s2 = sigma * sigma
+    grad_sigma = 2.0 * sigma * jnp.sum(G * E)
+    grad_bias = jnp.sum(G)
+    inv2r = jnp.where(r > 0, -0.5 / jnp.where(r > 0, r, 1.0), 0.0)
+    W = G * (s2 * E * inv2r)     # (ni, nj)
+    prec = jax.lax.Precision.HIGHEST
+    grad_Xmi = 2.0 * (jnp.sum(W, axis=1, keepdims=True) * Xmi
+                      - jnp.matmul(W, Xmj, precision=prec))
+    grad_Xmj = 2.0 * (jnp.sum(W, axis=0)[:, None] * Xmj
+                      - jnp.matmul(W.T, Xmi, precision=prec))
+    return grad_Xmi, grad_Xmj, grad_sigma, grad_bias
+
+
+fused_expans_bias_cross.defvjp(_cross_fwd, _cross_bwd)
+
+
 def _is_flagship(kernel) -> bool:
     return (isinstance(kernel, Sum) and len(kernel.children) == 2
             and isinstance(kernel.children[0], ExpAns)

@@ -90,6 +90,27 @@ def _fused_gram(Xi, Xj, scalars, with_diag: bool, tm: int,
             | jax.typeof(scalars).vma
     except Exception:
         vma = frozenset()
+    if interpret and vma:
+        # the pallas HLO interpreter mixes its internal (invariant)
+        # grid indices with varying operands and trips check_vma; off
+        # TPU compute the identical tile math in plain jnp instead —
+        # the compiled pallas path still runs whenever a real TPU is
+        # the backend
+        acc = jnp.promote_types(Xi.dtype, jnp.float32)
+        cross = jax.lax.dot_general(
+            Xi, Xj, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST)
+        ni = jnp.sum(Xi.astype(acc) ** 2, axis=1, keepdims=True)
+        nj = jnp.sum(Xj.astype(acc) ** 2, axis=1, keepdims=True)
+        d2 = jnp.maximum(ni + nj.T - 2.0 * cross, 0.0)
+        k = scalars[0] * jnp.exp(-jnp.sqrt(d2)) + scalars[1]
+        if with_diag:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+            k = jnp.where(rows == cols,
+                          scalars[0] + scalars[1] + scalars[2], k)
+        return k.astype(Xi.dtype)
     if vma:
         Xi = jax.lax.pvary(Xi, tuple(vma - jax.typeof(Xi).vma))
         Xj = jax.lax.pvary(Xj, tuple(vma - jax.typeof(Xj).vma))

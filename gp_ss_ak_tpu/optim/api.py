@@ -4,9 +4,9 @@ GP_Utils.cpp:1288-1301 / Opt_pars.h:176-195).
 
 The objective is ONE jitted function of the flat hyper vector; its
 gradient is jax.grad of the exact NLML. Optimizer names mirror the CLI
-("LBFGS", "BFGS", "SCG", gp_ss_ak.cpp:286-293); BFGS maps to the
-L-BFGS-B driver with full memory (dense-Hessian BFGS at p ~ 10 is the
-same fixed point).
+("LBFGS", "BFGS", "SCG", gp_ss_ak.cpp:286-293); BFGS is the dense
+inverse-Hessian update (optim/bfgs.py, reference Opt_pars.cpp:451-538),
+LBFGS the limited-memory box driver (optim/lbfgsb.py).
 """
 
 from __future__ import annotations
@@ -128,11 +128,24 @@ def fit(
     eng = engine.lower()
     n_data = int(np.shape(X)[0])
     if eng == "auto":
+        # off-TPU the matrix-free Pallas kernels run in interpret mode
+        # (pathologically slow), so auto only picks iterative on-TPU
+        from gp_ss_ak_tpu.ops.pairwise import _on_tpu
+
         eng = ("iterative" if n_data > DENSE_MAX_N
-               and supports_iterative(model) else "dense")
+               and supports_iterative(model) and _on_tpu() else "dense")
+        if n_data > DENSE_MAX_N and eng == "dense" and verbose >= 0:
+            import warnings
+
+            warnings.warn(
+                f"engine='auto' picked the dense path at N={n_data} "
+                "(no TPU backend or unsupported model); expect large "
+                "memory/compile cost — pass engine='iterative' to force "
+                "the matrix-free route", stacklevel=2)
     if eng == "iterative":
-        vgrad = make_iterative_value_and_grad(model, X, y,
-                                              **(engine_opts or {}))
+        opts = dict(engine_opts or {})
+        opts.setdefault("jitter", jitter)
+        vgrad = make_iterative_value_and_grad(model, X, y, **opts)
     elif eng == "dense":
         vgrad = make_value_and_grad(model, X, y, jitter)
     else:
@@ -162,9 +175,14 @@ def fit(
                         float(jres.fun), int(jres.n_iters), -1,
                         bool(jres.converged), [float(jres.fun)])
     else:
-        if name in ("LBFGS", "BFGS", "LBFGSB", "L-BFGS-B"):
-            opt = LBFGSB(maxiter=iters, verbose=verbose,
-                         memory=(p if name == "BFGS" else 6))
+        if name in ("LBFGS", "LBFGSB", "L-BFGS-B"):
+            opt = LBFGSB(maxiter=iters, verbose=verbose)
+        elif name == "BFGS":
+            # genuinely distinct dense inverse-Hessian BFGS, matching
+            # the reference's separate BFGSOptimize (Opt_pars.cpp:451)
+            from gp_ss_ak_tpu.optim.bfgs import DenseBFGS
+
+            opt = DenseBFGS(maxiter=iters, verbose=verbose)
         elif name == "SCG":
             opt = SCG(maxiter=iters, verbose=verbose)
         else:

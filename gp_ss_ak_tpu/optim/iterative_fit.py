@@ -42,8 +42,11 @@ DENSE_MAX_N = 16384
 
 
 def supports_iterative(model: GPModel) -> bool:
-    return _is_flagship(model.kernel) and isinstance(
-        model.likelihood, Gaussian)
+    # the engine assumes flat = [kernel params..., sn2] exactly: a model
+    # carrying mean hypers (or >1 lik hyper) would get a short gradient
+    return (_is_flagship(model.kernel)
+            and isinstance(model.likelihood, Gaussian)
+            and model.n_params == model.kernel.n_params + 1)
 
 
 def make_iterative_value_and_grad(
@@ -59,8 +62,12 @@ def make_iterative_value_and_grad(
     tm: int = 512,
     tn: int = 512,
     interpret=None,
+    jitter: float = 0.0,
 ):
-    """Host-callable (f, g) over ONE jitted matrix-free TPU program."""
+    """Host-callable (f, g) over ONE jitted matrix-free TPU program.
+
+    `jitter` is folded into the operator's noise (sn2 + jitter), the
+    matrix-free analogue of the dense engine adding jitter*I to A."""
     if not supports_iterative(model):
         raise ValueError(
             "iterative engine supports only Sum([ExpAns, Bias]) + "
@@ -76,7 +83,7 @@ def make_iterative_value_and_grad(
     def vg(flat):
         flat = flat.astype(jnp.float32)
         ep, bp = kernel.unpack(flat[:nk])
-        sn2 = flat[nk]
+        sn2 = flat[nk] + jnp.float32(jitter)
         Xm, pullback = jax.vjp(lambda e: mapped_points(expans, e, Xd), ep)
         it_gp = IterativeGP(Xm=Xm, sigma=ep["Sigma"], bias=bp["Sigma"],
                             sn2=sn2)

@@ -10,6 +10,7 @@ from gp_ss_ak_tpu.parallel.mesh import (
 from gp_ss_ak_tpu.parallel.fit import fit_distributed
 from gp_ss_ak_tpu.parallel.nlml import (
     make_dist_nlml_and_grad,
+    make_two_level_nlml_and_grad,
     make_dist_predict,
     shard_training_data,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "replicated",
     "fit_distributed",
     "make_dist_nlml_and_grad",
+    "make_two_level_nlml_and_grad",
     "make_dist_predict",
     "shard_training_data",
     "block_cholesky_local",

@@ -40,12 +40,28 @@ def fit_distributed(
     upper: Optional[np.ndarray] = None,
     verbose: int = 0,
     callback=None,
+    grad_mode: str = "exact",
+    probes: int = 32,
+    fused: bool = None,
 ) -> Tuple[GPModel, OptResult]:
+    from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
+
+    if isinstance(model.likelihood, WarpedGaussian):
+        # the distributed objective is Gaussian-only: it has no
+        # log g'(y) Jacobian term and reads sn2 directly from the flat
+        # vector (exp(2 theta) under WarpGauss) — silently fitting the
+        # wrong objective is worse than refusing (VERDICT r1 #5)
+        raise NotImplementedError(
+            "fit_distributed supports the Gaussian likelihood only; "
+            "warp y with likelihood.effective_target and fit the "
+            "warped targets, or use optim.fit on a single device")
     dtype = jnp.result_type(model.pack())
     Xs, ys, n, _ = shard_training_data(
         mesh, np.asarray(X, dtype), np.asarray(y, dtype), nb=nb)
     nlml_grad = make_dist_nlml_and_grad(model.kernel, model.likelihood,
-                                        mesh, n=n, nb=nb)
+                                        mesh, n=n, nb=nb,
+                                        grad_mode=grad_mode,
+                                        probes=probes, fused=fused)
 
     def value_and_grad(flat_np):
         v, g = nlml_grad(jnp.asarray(flat_np, dtype), Xs, ys)
@@ -56,9 +72,12 @@ def fit_distributed(
     lb = np.full(p, DEFAULT_LOWER) if lower is None else np.asarray(lower)
     ub = np.full(p, DEFAULT_UPPER) if upper is None else np.asarray(upper)
     name = optimizer.upper()
-    if name in ("LBFGS", "BFGS", "LBFGSB", "L-BFGS-B"):
-        opt = LBFGSB(maxiter=iters, verbose=verbose,
-                     memory=(p if name == "BFGS" else 6))
+    if name in ("LBFGS", "LBFGSB", "L-BFGS-B"):
+        opt = LBFGSB(maxiter=iters, verbose=verbose)
+    elif name == "BFGS":
+        from gp_ss_ak_tpu.optim.bfgs import DenseBFGS
+
+        opt = DenseBFGS(maxiter=iters, verbose=verbose)
     elif name == "SCG":
         opt = SCG(maxiter=iters, verbose=verbose)
     else:

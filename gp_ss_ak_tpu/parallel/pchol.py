@@ -27,10 +27,24 @@ positive-definiteness — see kernels/distance.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from gp_ss_ak_tpu.parallel.mesh import ROW_AXIS
+
+
+def _pvary_like(x, ref):
+    """Promote x's varying-manual-axes set to include ref's: on a
+    multi-axis mesh (e.g. chains x dp) the RHS carry of the
+    substitution loops starts varying only on the row axis while L
+    also varies on the chain axis — the fori_loop carry types must
+    match from iteration 0."""
+    try:
+        need = jax.typeof(ref).vma - jax.typeof(x).vma
+    except Exception:
+        return x
+    return lax.pvary(x, tuple(need)) if need else x
 
 _PREC = lax.Precision.HIGHEST
 
@@ -99,6 +113,7 @@ def tri_solve_lower_local(L_local: jnp.ndarray, B_local: jnp.ndarray,
     M = B_local.shape[1]
     n_blocks = N // nb
     p, g = _globals(n_local, axis)
+    B_local = _pvary_like(B_local, L_local)
 
     def body(j, B):
         jb = j * nb
@@ -135,6 +150,7 @@ def tri_solve_upper_local(L_local: jnp.ndarray, B_local: jnp.ndarray,
     M = B_local.shape[1]
     n_blocks = N // nb
     p, g = _globals(n_local, axis)
+    B_local = _pvary_like(B_local, L_local)
 
     def body(t, B):
         j = n_blocks - 1 - t

@@ -18,8 +18,6 @@ import numpy as np
 
 from gp_ss_ak_tpu.inference import gaussian
 from gp_ss_ak_tpu.model import GPModel
-from gp_ss_ak_tpu.utils.psd import robust_cholesky
-
 
 class Predictor:
     """Posterior server for one trained model + training set."""
@@ -36,35 +34,15 @@ class Predictor:
         dtype = jnp.result_type(model.pack())
         self.X = jnp.asarray(X, dtype)
         self.y = jnp.asarray(y, dtype)
-        if robust:
-            # jitter-retry factorization (utils/psd.py) for serving
-            from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
-            from gp_ss_ak_tpu.ops.fused import maybe_fused_A
-
-            lik = model.likelihood
-            sn2 = lik.noise_variance(model.lik_hypers)
-            if isinstance(lik, WarpedGaussian):
-                gy, lgpy = lik.effective_target(model.lik_hypers, self.y)
-            else:
-                gy, lgpy = self.y, jnp.zeros_like(self.y)
-            with jax.default_matmul_precision("highest"):
-                A = maybe_fused_A(model.kernel, model.kernel_params, sn2,
-                                  self.X, jitter, fused)
-                if A is None:
-                    K = model.kernel.matrix(model.kernel_params, self.X,
-                                            self.X, same=True)
-                    A = K + (sn2 + jitter) * jnp.eye(self.X.shape[0],
-                                                     dtype=dtype)
-                L, self.nugget = robust_cholesky(A)
-                alpha = jax.scipy.linalg.cho_solve((L, True), gy)
-            self.post = gaussian.Posterior(
-                alpha=alpha, chol=L, gy=gy, lgpy=lgpy,
-                y_max=jnp.max(self.y))
-        else:
-            self.post = gaussian.factorize(
-                model.kernel, model.kernel_params, model.lik_hypers,
-                self.X, self.y, model.likelihood, jitter, fused)
-            self.nugget = jnp.zeros(())
+        # single assembly path: gaussian.factorize owns the fused-A /
+        # warp / jitter-retry logic (robust=True adds the escalating
+        # diagonal nugget instead of propagating NaN)
+        self.post = gaussian.factorize(
+            model.kernel, model.kernel_params, model.lik_hypers,
+            self.X, self.y, model.likelihood, jitter, fused,
+            robust=robust)
+        self.nugget = (self.post.nugget if self.post.nugget is not None
+                       else jnp.zeros((), dtype))
 
         if precompute_inverse is None:
             precompute_inverse = self.X.shape[0] <= self.PRECOMPUTE_MAX_N

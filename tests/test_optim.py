@@ -51,6 +51,94 @@ class TestLBFGSB:
         assert res.x[0] >= 0.5 - 1e-9  # never settled in the NaN region
 
 
+class TestDenseBFGS:
+    """optim/bfgs.py — the distinct dense inverse-Hessian path
+    (reference Opt_pars.cpp:451-538)."""
+
+    def test_matches_scipy_bfgs_interior(self):
+        from scipy.optimize import minimize as sp_minimize
+
+        from gp_ss_ak_tpu.optim import DenseBFGS
+
+        A = np.array([[3.0, 0.4, 0.0], [0.4, 2.0, 0.1], [0.0, 0.1, 1.0]])
+        b = np.array([1.0, 1.5, 0.5])  # interior optimum A x = b
+
+        def vg(x):
+            r = A @ x - b
+            return 0.5 * float(r @ r), A.T @ r
+
+        x0 = np.full(3, 2.0)
+        res = DenseBFGS(maxiter=100).minimize(
+            vg, x0, lower=np.full(3, -10.0), upper=np.full(3, 10.0))
+        sp = sp_minimize(lambda x: vg(x)[0], x0, jac=lambda x: vg(x)[1],
+                         method="BFGS")
+        np.testing.assert_allclose(res.x, sp.x, atol=1e-5)
+        np.testing.assert_allclose(res.x, np.linalg.solve(A, b), atol=1e-5)
+
+    def test_rosenbrock_wolfe_and_interp(self):
+        from gp_ss_ak_tpu.optim import DenseBFGS
+
+        def vg(x):
+            f = 100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2
+            g = np.array([-400 * x[0] * (x[1] - x[0] ** 2) - 2 * (1 - x[0]),
+                          200 * (x[1] - x[0] ** 2)])
+            return float(f), g
+
+        for ls in ("wolfe", "interp"):
+            res = DenseBFGS(maxiter=300, line_search=ls).minimize(
+                vg, np.array([-1.2, 1.0]),
+                lower=np.full(2, -10.0), upper=np.full(2, 10.0))
+            np.testing.assert_allclose(res.x, 1.0, atol=1e-4,
+                                       err_msg=f"line_search={ls}")
+
+    def test_bounds_step_shrink(self):
+        from gp_ss_ak_tpu.optim import DenseBFGS
+
+        A = np.eye(2)
+        b = np.array([10.0, -10.0])  # optimum outside the box
+
+        def vg(x):
+            r = A @ x - b
+            return 0.5 * float(r @ r), r
+
+        res = DenseBFGS(maxiter=200).minimize(
+            vg, np.ones(2), lower=np.array([1e-4, 1e-4]),
+            upper=np.array([6.0, 6.0]))
+        assert (res.x >= 1e-4 - 1e-12).all() and (res.x <= 6 + 1e-12).all()
+        # moves toward the active bounds even though steps shrink
+        assert res.x[0] > 5.5 and res.x[1] < 0.1
+
+    def test_nan_rejection_keeps_best(self):
+        from gp_ss_ak_tpu.optim import DenseBFGS
+
+        def vg(x):
+            if x[0] < 0.5:
+                return float("nan"), np.zeros(1)
+            return float((x[0] - 0.4) ** 2), np.array([2 * (x[0] - 0.4)])
+
+        res = DenseBFGS(maxiter=50).minimize(vg, np.array([2.0]),
+                                             lower=np.array([1e-4]),
+                                             upper=np.array([6.0]))
+        assert np.isfinite(res.fun)
+        assert res.x[0] >= 0.5 - 1e-9
+
+    def test_fit_bfgs_improves_gp(self):
+        n = 40
+        X = np.linspace(-1, 1, n).reshape(-1, 1)
+        y = np.sin(3 * X[:, 0]) + 0.05 * RNG.normal(size=n)
+        model = default_model(input_dim=1)
+        vg = make_value_and_grad(model, X, y)
+        f0, _ = vg(np.asarray(model.pack()))
+        fitted, res = fit(model, X, y, optimizer="BFGS", iters=60)
+        assert res.fun < f0 - 1.0
+        flat = np.asarray(fitted.pack())
+        assert (flat >= 1e-4 - 1e-12).all() and (flat <= 6.0 + 1e-12).all()
+        # the dense path is a genuinely different object from LBFGSB
+        from gp_ss_ak_tpu.optim import DenseBFGS, LBFGSB  # noqa: F401
+        from gp_ss_ak_tpu.optim.bfgs import DenseBFGS as D2
+        assert D2 is DenseBFGS
+
+
 class TestSCG:
     def test_quadratic(self):
         A = np.diag([1.0, 4.0])

@@ -114,6 +114,30 @@ class TestDistNLML:
         np.testing.assert_allclose(np.asarray(grad), g_dense, rtol=1e-6,
                                    atol=1e-8)
 
+    def test_fused_panel_matches_generic(self, mesh):
+        """fused=True routes the row panel through the Pallas fused
+        cross-Gram (interpret mode on CPU); value and grad must agree
+        with the generic XLA panel build (VERDICT r1 #3)."""
+        model, X, y = self.make_problem(n=40)
+        Xs, ys, n, _ = shard_training_data(mesh, X, y, nb=NB)
+        f_gen = make_dist_nlml_and_grad(model.kernel, model.likelihood,
+                                        mesh, n=n, nb=NB, fused=False)
+        f_fus = make_dist_nlml_and_grad(model.kernel, model.likelihood,
+                                        mesh, n=n, nb=NB, fused=True)
+        flat = model.pack()
+        v1, g1 = f_gen(flat, Xs, ys)
+        v2, g2 = f_fus(flat, Xs, ys)
+        assert float(v1) == pytest.approx(float(v2), rel=1e-9)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_fused_requires_flagship(self, mesh):
+        from gp_ss_ak_tpu.kernels import RBF
+
+        with pytest.raises(ValueError, match="flagship"):
+            make_dist_nlml_and_grad(RBF(), Gaussian(), mesh, n=32,
+                                    nb=NB, fused=True)
+
     def test_padding_invariance(self, mesh):
         # same answer for n=50 (padded to 64) and n=64-with-junk-rows
         model, X, y = self.make_problem(n=50)
@@ -181,3 +205,126 @@ class TestMultiBlockPerDevice:
         vd, gd = make_value_and_grad(model, X, y)(np.asarray(model.pack()))
         assert float(v) == pytest.approx(vd, rel=1e-10)
         np.testing.assert_allclose(np.asarray(g), gd, rtol=1e-8, atol=1e-10)
+
+
+class TestFitDistributed:
+    """End-to-end distributed training driver (VERDICT r1 #5)."""
+
+    def test_converges_to_single_device_optimum(self, mesh):
+        from gp_ss_ak_tpu.optim import fit
+        from gp_ss_ak_tpu.parallel import fit_distributed
+
+        n = 48
+        X = np.linspace(-1, 1, n).reshape(-1, 1).astype(np.float64)
+        y = np.sin(3 * X[:, 0])
+        model = default_model(input_dim=1, dtype=jnp.float64)
+        fitted_d, res_d = fit_distributed(model, X, y, mesh, nb=NB,
+                                          iters=40)
+        fitted_s, res_s = fit(model, X, y, iters=40)
+        # identical objective + identical optimizer -> same optimum
+        assert res_d.fun == pytest.approx(res_s.fun, rel=1e-5, abs=1e-5)
+        np.testing.assert_allclose(np.asarray(fitted_d.pack()),
+                                   np.asarray(fitted_s.pack()),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_rejects_warped_likelihood(self, mesh):
+        from dataclasses import replace
+
+        from gp_ss_ak_tpu.inference import WarpedGaussian
+        from gp_ss_ak_tpu.parallel import fit_distributed
+
+        model = default_model(input_dim=1, dtype=jnp.float64)
+        wlik = WarpedGaussian(family="tanh1", n_triplets=1)
+        wmodel = replace(
+            model, likelihood=wlik,
+            lik_hypers=jnp.asarray(wlik.default_hypers(jnp.float64)))
+        X = np.linspace(-1, 1, 16).reshape(-1, 1)
+        y = np.sin(X[:, 0])
+        with pytest.raises(NotImplementedError, match="Gaussian"):
+            fit_distributed(wmodel, X, y, mesh, nb=NB, iters=2)
+
+
+class TestTwoLevelMesh:
+    """(chains x dp) mesh: independent hyper vectors per chain, kernel
+    matrix row-sharded within a chain (parallel/multihost.py docs)."""
+
+    def test_two_level_nlml_matches_per_chain_dense(self):
+        from jax.sharding import Mesh
+
+        from gp_ss_ak_tpu.optim import make_value_and_grad
+        from gp_ss_ak_tpu.parallel import make_two_level_nlml_and_grad
+        from gp_ss_ak_tpu.parallel.mesh import pad_rows
+
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh2 = Mesh(devs, ("chains", ROW_AXIS))
+        n, d = 36, 3
+        X = RNG.normal(size=(n, d))
+        y = np.sin(X[:, 0])
+        model = default_model(input_dim=d, dtype=jnp.float64)
+
+        n_pad = pad_rows(n, 4, NB)
+        Xp = np.zeros((n_pad, d))
+        Xp[:n] = X
+        yp = np.zeros(n_pad)
+        yp[:n] = y
+        Xs = jax.device_put(jnp.asarray(Xp),
+                            NamedSharding(mesh2, P(ROW_AXIS, None)))
+        ys = jax.device_put(jnp.asarray(yp),
+                            NamedSharding(mesh2, P(ROW_AXIS)))
+
+        f2 = make_two_level_nlml_and_grad(model.kernel, model.likelihood,
+                                          mesh2, n=n, nb=NB)
+        flat0 = np.asarray(model.pack())
+        flat1 = np.clip(flat0 * 1.3, 1e-4, 6.0)
+        flats = jax.device_put(
+            jnp.asarray(np.stack([flat0, flat1])),
+            NamedSharding(mesh2, P("chains", None)))
+        vals, grads = f2(flats, Xs, ys)
+
+        vg = make_value_and_grad(model, X, y)
+        for c, fl in enumerate([flat0, flat1]):
+            v_d, g_d = vg(fl)
+            assert float(vals[c]) == pytest.approx(v_d, rel=1e-8)
+            np.testing.assert_allclose(np.asarray(grads[c]), g_d,
+                                       rtol=1e-6, atol=1e-8)
+
+
+class TestHutchinsonGrad:
+    """grad_mode='hutchinson': m probe solves instead of the N-RHS
+    Q = A^-1 build (VERDICT r1 #2/#4)."""
+
+    def test_value_exact_grad_close_to_exact(self, mesh):
+        n, d = 48, 3
+        X = RNG.normal(size=(n, d))
+        y = np.sin(X[:, 0])
+        model = default_model(input_dim=d, dtype=jnp.float64)
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=NB)
+        f_ex = make_dist_nlml_and_grad(model.kernel, model.likelihood,
+                                       mesh, n=ntrue, nb=NB)
+        f_hu = make_dist_nlml_and_grad(model.kernel, model.likelihood,
+                                       mesh, n=ntrue, nb=NB,
+                                       grad_mode="hutchinson",
+                                       probes=256)
+        flat = model.pack()
+        v1, g1 = f_ex(flat, Xs, ys)
+        v2, g2 = f_hu(flat, Xs, ys)
+        # NLML itself is exact in both modes
+        assert float(v1) == pytest.approx(float(v2), rel=1e-10)
+        # probe gradient: stochastic but deterministic per seed; with
+        # 256 probes at n=48 the relative error is small
+        g1, g2 = np.asarray(g1), np.asarray(g2)
+        scale = np.maximum(np.abs(g1), 1.0)
+        assert np.max(np.abs(g1 - g2) / scale) < 0.15
+
+    def test_deterministic_per_seed(self, mesh):
+        n = 32
+        X = RNG.normal(size=(n, 3))
+        y = np.sin(X[:, 0])
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=NB)
+        f = make_dist_nlml_and_grad(model.kernel, model.likelihood,
+                                    mesh, n=ntrue, nb=NB,
+                                    grad_mode="hutchinson", probes=16)
+        _, ga = f(model.pack(), Xs, ys)
+        _, gb = f(model.pack(), Xs, ys)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
