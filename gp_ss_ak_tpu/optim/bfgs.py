@@ -49,7 +49,7 @@ class DenseBFGS:
     maxiter: int = 100
     tol: float = 1e-9            # relative objective-change tolerance
     gtol: float = 1e-6           # projected-gradient tolerance
-    line_search: str = "wolfe"   # "wolfe" | "interp"
+    line_search: str = "wolfe"   # "wolfe" | "interp" | "potra"
     wolfe_c1: float = 1e-4
     wolfe_c2: float = 0.9
     max_ls: int = 25
@@ -128,6 +128,13 @@ class DenseBFGS:
                     fg, x, f, g, d, t_max, self.wolfe_c1, self.wolfe_c2,
                     self.max_ls)
                 x_new = x + t * d
+            elif self.line_search == "potra":
+                # the reference's own search family
+                # (Opt_pars.cpp:543-974)
+                from gp_ss_ak_tpu.optim.linesearch import potra_shi_search
+
+                ok, x_new, f_new, g_new = potra_shi_search(
+                    fg, x, f, g, d, lb, ub, t_init=t_max)
             else:
                 ls = LBFGSB(armijo_c1=self.wolfe_c1,
                             max_backtracks=self.max_ls)

@@ -55,6 +55,8 @@ class LBFGSB:
     armijo_c1: float = 1e-4
     max_backtracks: int = 25
     verbose: int = 0
+    line_search: str = "interp"  # "interp" | "potra" (Potra-Shi,
+    # the reference's family — optim/linesearch.py)
 
     def minimize(
         self,
@@ -113,15 +115,15 @@ class LBFGSB:
 
             t0 = 1.0 if S else min(1.0, 1.0 / max(
                 1e-12, float(np.max(np.abs(g)))))
-            accepted, x_new, f_new, g_new = self._line_search(
+            accepted, x_new, f_new, g_new = self._search(
                 fg, x, f, g, d, lb, ub, t0)
             if not accepted:
                 if S:
                     # quasi-Newton direction failed — retry steepest
                     S.clear()
                     Y.clear()
-                    accepted, x_new, f_new, g_new = self._line_search(
-                        fg, x, f, g, -g, lb, ub)
+                    accepted, x_new, f_new, g_new = self._search(
+                        fg, x, f, g, -g, lb, ub, 1.0)
                 if not accepted:
                     converged = True  # no progress possible
                     break
@@ -151,6 +153,13 @@ class LBFGSB:
                 break
 
         return OptResult(best_x, best_f, it, n_evals[0], converged, trace)
+
+    def _search(self, fg, x, f, g, d, lb, ub, t0):
+        if self.line_search == "potra":
+            from gp_ss_ak_tpu.optim.linesearch import potra_shi_search
+
+            return potra_shi_search(fg, x, f, g, d, lb, ub, t_init=t0)
+        return self._line_search(fg, x, f, g, d, lb, ub, t0)
 
     def _line_search(self, fg, x, f, g, d, lb, ub, t0=1.0):
         """Projected line search with cubic/quadratic interpolation.
