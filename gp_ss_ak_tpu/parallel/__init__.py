@@ -14,6 +14,11 @@ from gp_ss_ak_tpu.parallel.nlml import (
     make_dist_predict,
     shard_training_data,
 )
+from gp_ss_ak_tpu.parallel.ring import (
+    make_ring_cg_solve,
+    make_ring_matvec,
+    make_ring_posterior_mean,
+)
 from gp_ss_ak_tpu.parallel.pchol import (
     block_cholesky_local,
     solve_chol_local,
@@ -31,6 +36,9 @@ __all__ = [
     "make_dist_nlml_and_grad",
     "make_two_level_nlml_and_grad",
     "make_dist_predict",
+    "make_ring_matvec",
+    "make_ring_cg_solve",
+    "make_ring_posterior_mean",
     "shard_training_data",
     "block_cholesky_local",
     "solve_chol_local",

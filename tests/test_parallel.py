@@ -328,3 +328,81 @@ class TestHutchinsonGrad:
         _, ga = f(model.pack(), Xs, ys)
         _, gb = f(model.pack(), Xs, ys)
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+class TestRing:
+    """parallel/ring.py — ppermute ring matvec/CG: nothing larger than
+    an (n_local, n_local) tile ever exists (long-context analogue,
+    SURVEY.md §5)."""
+
+    def _dense_A(self, model, X):
+        K = model.kernel.matrix(model.kernel_params, jnp.asarray(X),
+                                jnp.asarray(X), same=True)
+        sn2 = float(np.asarray(model.lik_hypers)[0])
+        return np.asarray(K) + sn2 * np.eye(X.shape[0])
+
+    def test_matvec_matches_dense(self, mesh):
+        from gp_ss_ak_tpu.parallel.ring import make_ring_matvec
+
+        n = 50
+        X = RNG.normal(size=(n, 3))
+        v = RNG.normal(size=n)
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, vs, ntrue, n_pad = shard_training_data(mesh, X, v, nb=NB)
+        mv = make_ring_matvec(model.kernel, mesh, n=ntrue)
+        q = np.asarray(mv(model.pack(), Xs, vs))[:n]
+        A = self._dense_A(model, X)
+        np.testing.assert_allclose(q, A @ v, rtol=1e-9, atol=1e-9)
+
+    def test_matvec_padding_is_identity(self, mesh):
+        from gp_ss_ak_tpu.parallel.ring import make_ring_matvec
+
+        n = 50
+        X = RNG.normal(size=(n, 3))
+        v = RNG.normal(size=n)
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, vs, ntrue, n_pad = shard_training_data(mesh, X, v, nb=NB)
+        # poison the padding slots of v: they must pass through as-is
+        vp = np.asarray(vs).copy()
+        vp[n:] = 7.25
+        vs2 = jax.device_put(vp, NamedSharding(mesh, P(ROW_AXIS)))
+        mv = make_ring_matvec(model.kernel, mesh, n=ntrue)
+        q = np.asarray(mv(model.pack(), Xs, vs2))
+        np.testing.assert_allclose(q[n:], 7.25)
+        A = self._dense_A(model, X)
+        np.testing.assert_allclose(q[:n], A @ v, rtol=1e-9, atol=1e-9)
+
+    def test_cg_matches_dense_solve(self, mesh):
+        from gp_ss_ak_tpu.parallel.ring import make_ring_cg_solve
+
+        n = 40
+        X = RNG.normal(size=(n, 3))
+        y = np.sin(X[:, 0])
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=NB)
+        cg = make_ring_cg_solve(model.kernel, mesh, n=ntrue, tol=1e-10)
+        x, it, res = cg(model.pack(), Xs, ys)
+        A = self._dense_A(model, X)
+        np.testing.assert_allclose(np.asarray(x)[:n],
+                                   np.linalg.solve(A, y),
+                                   rtol=1e-6, atol=1e-8)
+        assert int(it) < 1000
+
+    def test_posterior_mean_matches_dense(self, mesh):
+        from gp_ss_ak_tpu.parallel.ring import make_ring_posterior_mean
+
+        n, m = 40, 6
+        X = RNG.normal(size=(n, 3))
+        y = np.sin(X[:, 0])
+        Xq = RNG.normal(size=(m, 3))
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=NB)
+        pm = make_ring_posterior_mean(model.kernel, mesh, n=ntrue,
+                                      tol=1e-10)
+        mu, it, res = pm(model.pack(), Xs, ys, jnp.asarray(Xq))
+        mu_d, _ = predict(model.kernel, model.kernel_params,
+                          model.lik_hypers, jnp.asarray(X),
+                          jnp.asarray(y), jnp.asarray(Xq),
+                          model.likelihood)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                                   rtol=1e-6, atol=1e-8)
