@@ -4,6 +4,8 @@ The same optimizer contract as optim.fit (box [1e-4, 6], NaN
 rejection, best-so-far) with the objective+gradient evaluated by the
 mesh-sharded pipeline — each evaluation is one distributed Gram build
 + block Cholesky + QW-contraction gradient across all devices.
+WarpedGaussian models are supported end-to-end (warping is
+elementwise per shard; see parallel/nlml._make_nlml_body).
 """
 
 from __future__ import annotations
@@ -44,17 +46,6 @@ def fit_distributed(
     probes: int = 32,
     fused: bool = None,
 ) -> Tuple[GPModel, OptResult]:
-    from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
-
-    if isinstance(model.likelihood, WarpedGaussian):
-        # the distributed objective is Gaussian-only: it has no
-        # log g'(y) Jacobian term and reads sn2 directly from the flat
-        # vector (exp(2 theta) under WarpGauss) — silently fitting the
-        # wrong objective is worse than refusing (VERDICT r1 #5)
-        raise NotImplementedError(
-            "fit_distributed supports the Gaussian likelihood only; "
-            "warp y with likelihood.effective_target and fit the "
-            "warped targets, or use optim.fit on a single device")
     dtype = jnp.result_type(model.pack())
     Xs, ys, n, _ = shard_training_data(
         mesh, np.asarray(X, dtype), np.asarray(y, dtype), nb=nb)

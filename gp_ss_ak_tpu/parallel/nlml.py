@@ -108,10 +108,12 @@ def make_dist_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
     """Returns jitted (flat_hypers, X_padded, y_padded) -> (nlml, grad).
 
     `n` is the true (unpadded) number of rows; inputs must be padded to
-    pad_rows(n, P, nb) and sharded with P(axis) on rows. Gaussian
-    likelihood ONLY — a WarpedGaussian model must be rejected upstream
-    (parallel/fit.py raises; the objective here has no log g'(y) term
-    and reads sn2 directly from the flat vector).
+    pad_rows(n, P, nb) and sharded with P(axis) on rows. Pass the
+    model's likelihood: WarpedGaussian is fully supported — targets are
+    warped per-shard (elementwise), the global y-max for the rbf warp
+    clamp comes from a pmax, the - sum log g'(y) Jacobian joins the
+    objective, and sn2 = exp(2 theta_last) per the reference convention
+    (GP_Utils.cpp:417-430).
 
     `fused` routes the row-panel Gram through the Pallas fused
     distance+exp kernel (default: on for the flagship kernel on TPU).
@@ -130,7 +132,7 @@ def make_dist_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
     P_sz = n_devices or len(mesh.devices)
     body = _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
                            grad_mode=grad_mode, probes=probes,
-                           probe_seed=probe_seed)
+                           probe_seed=probe_seed, likelihood=likelihood)
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
@@ -141,7 +143,7 @@ def make_dist_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
 
 def _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
                     grad_mode: str = "exact", probes: int = 32,
-                    probe_seed: int = 0):
+                    probe_seed: int = 0, likelihood=None):
     """Per-device NLML+grad body, reusable across the 1-D ("dp") mesh
     and the two-level (chains x dp) mesh.
 
@@ -160,7 +162,10 @@ def _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
                      The alpha^T dA alpha and diagonal (sn2) terms stay
                      exact; only the trace term is estimated.
     """
+    from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
+
     nk = kernel.n_params
+    warped = isinstance(likelihood, WarpedGaussian)
 
     def body(flat, X_local, y_local):
         n_local = X_local.shape[0]
@@ -169,15 +174,48 @@ def _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
         N = n_local * P_sz
 
         params = kernel.unpack(flat[:nk])
-        sn2 = flat[nk]
+        if warped:
+            lik_h = flat[nk:]
+            sn2 = likelihood.noise_variance(lik_h)
+            # global max of the TRUE targets (rbf warp centre clamp,
+            # GP_Utils.cpp:485) — padding rows masked to -inf
+            ymax = lax.pmax(
+                jnp.max(jnp.where(g < n, y_local, -jnp.inf)), axis)
+            gy_l, lgpy_l = likelihood.effective_target(lik_h, y_local,
+                                                       ymax)
+            gy_local = jnp.where(g < n, gy_l, 0.0)
+            lgpy_sum = lax.psum(
+                jnp.sum(jnp.where(g < n, lgpy_l, 0.0)), axis)
+        else:
+            sn2 = flat[nk]
+            gy_local = y_local
+            lgpy_sum = 0.0
         X_all = lax.all_gather(X_local, axis, tiled=True)
 
         A_local = _build_A_local(kernel, params, sn2, X_local, X_all,
                                  g, n, fused=fused)
         L_local, half_logdet = block_cholesky_local(A_local, nb, axis)
-        alpha = solve_chol_local(L_local, y_local[:, None], nb, axis)[:, 0]
-        fit = 0.5 * lax.psum(jnp.dot(y_local, alpha), axis)
-        value = fit + half_logdet + 0.5 * n * math.log(2.0 * math.pi)
+        alpha = solve_chol_local(L_local, gy_local[:, None],
+                                 nb, axis)[:, 0]
+        fit = 0.5 * lax.psum(jnp.dot(gy_local, alpha), axis)
+        value = (fit + half_logdet + 0.5 * n * math.log(2.0 * math.pi)
+                 - lgpy_sum)
+
+        # warped extra terms for the gradient: d/dw [1/2 gy' A^-1 gy]
+        # = alpha' dgy/dw, plus the Jacobian - sum dlog g'(y)/dw;
+        # both are local elementwise expressions of the lik hypers
+        def _extra(flat_):
+            if not warped:
+                return 0.0
+            gy_, lgpy_ = likelihood.effective_target(
+                flat_[nk:], y_local, lax.stop_gradient(ymax))
+            gy_ = jnp.where(g < n, gy_, 0.0)
+            lgpy_s = jnp.sum(jnp.where(g < n, lgpy_, 0.0))
+            return (jnp.dot(lax.stop_gradient(alpha), gy_) - lgpy_s)
+
+        def _sn2_of(flat_):
+            return (likelihood.noise_variance(flat_[nk:]) if warped
+                    else flat_[nk])
 
         # --- gradient via the QW contraction --------------------------
         alpha_all = lax.all_gather(alpha, axis, tiled=True)
@@ -189,10 +227,10 @@ def _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
 
             def contraction(flat_):
                 params_ = kernel.unpack(flat_[:nk])
-                sn2_ = flat_[nk]
+                sn2_ = _sn2_of(flat_)
                 A_ = _build_A_local(kernel, params_, sn2_, X_local,
                                     X_all, g, n, fused=fused)
-                return 0.5 * jnp.sum(QW * A_)
+                return 0.5 * jnp.sum(QW * A_) + _extra(flat_)
         else:
             # Hutchinson: Z (N, m) Rademacher, identical on every
             # device (replicated key); zero the padding rows so probes
@@ -214,7 +252,7 @@ def _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
 
             def contraction(flat_):
                 params_ = kernel.unpack(flat_[:nk])
-                sn2_ = flat_[nk]
+                sn2_ = _sn2_of(flat_)
                 A_ = _build_A_local(kernel, params_, sn2_, X_local,
                                     X_all, g, n, fused=fused)
                 AZ = jnp.matmul(A_, Z_all, precision=_PREC)
@@ -228,7 +266,7 @@ def _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
                 # sum_i U_ii Z_ii... both flow through AZ, so no
                 # correction is applied here — the estimator is
                 # unbiased for every component including sn2.
-                return 0.5 * (tr_est - quad)
+                return 0.5 * (tr_est - quad) + _extra(flat_)
 
         # NOTE: no explicit psum — flat is replicated (P()), and under
         # shard_map jax inserts the cross-device reduction for the
