@@ -436,3 +436,18 @@ class TestRing:
                           model.likelihood)
         np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestMultihost:
+    def test_initialize_noop_without_coordinator(self, monkeypatch):
+        from gp_ss_ak_tpu.parallel import multihost
+
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        assert multihost.initialize() is None  # single-process no-op
+
+    def test_two_level_mesh_shape(self):
+        from gp_ss_ak_tpu.parallel.multihost import two_level_mesh
+
+        mesh = two_level_mesh(rows_per_host=4)
+        assert mesh.axis_names == ("chains", "dp")
+        assert mesh.devices.shape == (2, 4)  # 8 sim devices / 4

@@ -233,12 +233,14 @@ def test_optimizer_trajectory_comparison(ref_binary, dataset, tmp_path):
     assert res.fun <= min(ref_trace) + 1e-6
 
 
-def test_parity_rbf_kernel(ref_binary, dataset, tmp_path):
-    """RBF+Bias composition (Kern_RBF, Kernel.cpp:384-541)."""
+@pytest.mark.parametrize("kname", ["RBF", "Exp"])
+def test_parity_other_kernels(ref_binary, dataset, tmp_path, kname):
+    """RBF+Bias and Exponential+Bias compositions
+    (Kern_RBF Kernel.cpp:384-541, Kern_Exponential Kernel.cpp:550-695)."""
     train, test = dataset
     cwd = str(tmp_path)
     _run_ref(ref_binary, cwd, ["-v", "1", "-pm", "1", "train",
-                               "-k", "RBF", "-kn", "1",
+                               "-k", kname, "-kn", "1",
                                "-o", "SCG", "-#", "10", train, "model"])
     _run_ref(ref_binary, cwd, ["-v", "1", "-pm", "1", "test",
                                test, "model", train])
