@@ -178,6 +178,30 @@ def nlml(kernel, params, lik_hypers, X, y, likelihood=Gaussian(),
     return fit + half_logdet + const - jnp.sum(post.lgpy)
 
 
+def warped_predictive_mix(likelihood, lik_hypers, mu, var, ymax):
+    """20-node Gauss-Hermite push of the LATENT Gaussian through
+    g^{-1}; the reference mixes with z = mu + sigma x_k and measures
+    the spread around the latent mean (GP_Utils.cpp:1059-1077) —
+    replicated exactly. `ymax` is the max of the RAW training targets
+    (the rbf family's centre clamp, GP_Utils.cpp:591). Pure function of
+    replicated arrays, so it composes with the distributed predictor
+    (parallel/nlml.make_dist_predict) as well as the dense one."""
+    nodes, weights = gauss_hermite(20)
+    nodes = jnp.asarray(nodes, mu.dtype)
+    weights = jnp.asarray(weights, mu.dtype)
+    sig = jnp.sqrt(var)
+    Z = mu[:, None] + sig[:, None] * nodes[None, :]
+    G = warping.inverse(
+        likelihood.family,
+        likelihood.warp_hypers(lik_hypers),
+        Z,
+        y_train_max=ymax,
+    )
+    mu_w = G @ weights
+    var_w = ((G - mu[:, None]) ** 2) @ weights
+    return mu_w, var_w
+
+
 def posterior_mean_var(kernel, params, lik_hypers, X, post: Posterior,
                        Xstar, likelihood=Gaussian(), full_cov: bool = False,
                        fused: bool = None):
@@ -218,25 +242,9 @@ def posterior_mean_var(kernel, params, lik_hypers, X, post: Posterior,
     var = var + sn2
 
     if isinstance(likelihood, WarpedGaussian):
-        # 20-node Gauss-Hermite through g^{-1}; the reference mixes with
-        # z = mu + sigma * x_k and measures the spread around the
-        # *latent* mean (GP_Utils.cpp:1059-1077) — replicated exactly.
-        nodes, weights = gauss_hermite(20)
-        nodes = jnp.asarray(nodes, mu.dtype)
-        weights = jnp.asarray(weights, mu.dtype)
-        sig = jnp.sqrt(var)
-        Z = mu[:, None] + sig[:, None] * nodes[None, :]
-        # the rbf family's centre clamp uses max of the RAW training
-        # targets (GP_Utils.cpp:591 uses yTarg.max())
         ymax = post.y_max if post.y_max is not None else jnp.max(post.gy)
-        G = warping.inverse(
-            likelihood.family,
-            likelihood.warp_hypers(lik_hypers),
-            Z,
-            y_train_max=ymax,
-        )
-        mu_w = G @ weights
-        var_w = ((G - mu[:, None]) ** 2) @ weights
+        mu_w, var_w = warped_predictive_mix(likelihood, lik_hypers, mu,
+                                            var, ymax)
         if full_cov:
             return mu_w, var_w, None
         return mu_w, var_w

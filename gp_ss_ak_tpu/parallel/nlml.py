@@ -330,8 +330,12 @@ def make_dist_predict(kernel, likelihood, mesh: Mesh, n: int,
 
     Xstar is replicated (serve in chunks); mu/var come back replicated.
     Mirrors posteriorMeanVar (GP_Utils.cpp:943-1043): cross-kernel,
-    kX^T alpha, whitened triangular solve, clamp, + sn2.
+    kX^T alpha, whitened triangular solve, clamp, + sn2; WarpedGaussian
+    models get the 20-node Gauss-Hermite g^{-1} push
+    (gaussian.warped_predictive_mix) on the replicated latent moments.
     """
+    from gp_ss_ak_tpu.inference.gaussian import warped_predictive_mix
+    from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
     from gp_ss_ak_tpu.ops.fused import _is_flagship
     from gp_ss_ak_tpu.ops.pairwise import _on_tpu
 
@@ -339,6 +343,7 @@ def make_dist_predict(kernel, likelihood, mesh: Mesh, n: int,
         fused = _on_tpu() and _is_flagship(kernel)
     P_sz = n_devices or len(mesh.devices)
     nk = kernel.n_params
+    warped = isinstance(likelihood, WarpedGaussian)
 
     def body(flat, X_local, y_local, Xstar):
         n_local = X_local.shape[0]
@@ -346,13 +351,23 @@ def make_dist_predict(kernel, likelihood, mesh: Mesh, n: int,
         g = p * n_local + jnp.arange(n_local)
 
         params = kernel.unpack(flat[:nk])
-        sn2 = flat[nk]
+        if warped:
+            lik_h = flat[nk:]
+            sn2 = likelihood.noise_variance(lik_h)
+            ymax = lax.pmax(
+                jnp.max(jnp.where(g < n, y_local, -jnp.inf)), axis)
+            gy_l, _ = likelihood.effective_target(lik_h, y_local, ymax)
+            gy_local = jnp.where(g < n, gy_l, 0.0)
+        else:
+            sn2 = flat[nk]
+            gy_local = y_local
         X_all = lax.all_gather(X_local, axis, tiled=True)
 
         A_local = _build_A_local(kernel, params, sn2, X_local, X_all,
                                  g, n, fused=fused)
         L_local, _ = block_cholesky_local(A_local, nb, axis)
-        alpha = solve_chol_local(L_local, y_local[:, None], nb, axis)[:, 0]
+        alpha = solve_chol_local(L_local, gy_local[:, None],
+                                 nb, axis)[:, 0]
 
         kX_local = kernel.matrix(params, X_local, Xstar, same=False)
         kX_local = jnp.where((g < n)[:, None], kX_local, 0.0)
@@ -364,6 +379,9 @@ def make_dist_predict(kernel, likelihood, mesh: Mesh, n: int,
         ssq = lax.psum(jnp.sum(v_local * v_local, axis=0), axis)
         kdiag = kernel.diag(params, Xstar)
         var = jnp.maximum(kdiag - ssq, 0.0) + sn2
+        if warped:
+            mu, var = warped_predictive_mix(likelihood, flat[nk:],
+                                            mu, var, ymax)
         return mu, var
 
     mapped = jax.shard_map(

@@ -451,3 +451,32 @@ class TestMultihost:
         mesh = two_level_mesh(rows_per_host=4)
         assert mesh.axis_names == ("chains", "dp")
         assert mesh.devices.shape == (2, 4)  # 8 sim devices / 4
+
+
+class TestWarpedDistPredict:
+    def test_matches_dense_warped_prediction(self, mesh):
+        from dataclasses import replace
+
+        from gp_ss_ak_tpu.inference import WarpedGaussian
+
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        wlik = WarpedGaussian(family="tanh1", n_triplets=1)
+        wmodel = replace(
+            model, likelihood=wlik,
+            lik_hypers=jnp.asarray(wlik.default_hypers(jnp.float64)))
+        n, m = 40, 5
+        X = RNG.normal(size=(n, 3))
+        y = np.sin(X[:, 0]) + 0.1 * RNG.normal(size=n)
+        Xq = RNG.normal(size=(m, 3))
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=NB)
+        fp = make_dist_predict(wmodel.kernel, wmodel.likelihood, mesh,
+                               n=ntrue, nb=NB)
+        mu, var = fp(wmodel.pack(), Xs, ys, jnp.asarray(Xq))
+        mu_d, var_d = predict(wmodel.kernel, wmodel.kernel_params,
+                              wmodel.lik_hypers, jnp.asarray(X),
+                              jnp.asarray(y), jnp.asarray(Xq),
+                              wmodel.likelihood)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
+                                   rtol=1e-5, atol=1e-8)
