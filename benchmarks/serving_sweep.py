@@ -1,0 +1,94 @@
+"""Serving throughput: posterior mean/var predictions/s vs batch size.
+
+One trained flagship model at N training points; the Predictor factors
+once (L and L^-1 on device) and serves batches of M query points. Each
+batch is one fused cross-Gram + one MXU GEMM (whitened solve against
+the precomputed L^-1) — the HBM-bandwidth path BASELINE.md's
+prediction-throughput row asks about.
+
+Timing is elision-proof: chain_timeit runs serially-dependent batches
+inside one device program and subtracts the measured null-dispatch
+round-trip (required over the tunnel transport).
+
+Usage (TPU host, run ALONE — the remote compile service serializes):
+  python benchmarks/serving_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RESULTS = os.path.join(HERE, "results.json")
+
+N_TRAIN = 4096
+BATCHES = [256, 1024, 4096, 16384]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.inference import gaussian
+    from gp_ss_ak_tpu.model import default_model
+    from gp_ss_ak_tpu.utils.profiling import chain_timeit
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1, 1, (N_TRAIN, 3)).astype(np.float32)
+    y = np.sin(X @ np.array([3.0, 1.0, 2.0], np.float32))
+    model = default_model(input_dim=3, dtype=jnp.float32)
+    Xd, yd = jnp.asarray(X), jnp.asarray(y)
+
+    post = gaussian.factorize(model.kernel, model.kernel_params,
+                              model.lik_hypers, Xd, yd, model.likelihood)
+    eye = jnp.eye(N_TRAIN, dtype=jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        linv = jax.scipy.linalg.solve_triangular(post.chol, eye,
+                                                 lower=True)
+    post = post._replace(linv=linv)
+
+    rows = []
+    for m in BATCHES:
+        Xq0 = jnp.asarray(rng.uniform(-1, 1, (m, 3)), jnp.float32)
+
+        def step(z, s):
+            # serial dependence: each batch is perturbed by the running
+            # scalar, so successive iterations can't be elided/pipelined
+            zq = z + s * jnp.float32(1e-6)
+            mu, var = gaussian.posterior_mean_var(
+                model.kernel, model.kernel_params, model.lik_hypers,
+                Xd, post, zq, model.likelihood)
+            return (jnp.sum(mu) + jnp.sum(var)) * jnp.float32(1e-6)
+
+        dt = chain_timeit(step, Xq0, reps=10)
+        rows.append({
+            "batch": m,
+            "ms_per_batch": round(1e3 * dt, 3),
+            "preds_per_s": round(m / dt) if dt > 0 else None,
+        })
+        print(rows[-1], flush=True)
+
+    data = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            data = json.load(f)
+    data["serving_batch_sweep"] = {
+        "backend": jax.default_backend(),
+        "n_train": N_TRAIN,
+        "note": ("Predictor path with precomputed L^-1; chain-timed "
+                 "(serialized dependent batches, null-dispatch "
+                 "subtracted)"),
+        "rows": rows,
+        "ts": time.strftime("%F %T"),
+    }
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"wrote serving_batch_sweep -> {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,15 +114,28 @@ def sample_hyperposterior(
         chain = jax.jit(jax.vmap(
             lambda z, k: run(log_post, z, k, n_samples=n_samples,
                              n_warmup=n_warmup)))
+        ck = keys[1:]
+        n_run = n_chains
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             ax = mesh.axis_names[0]
+            n_dev = int(np.prod(mesh.devices.shape))
+            # the sharded chain axis must tile the mesh: pad with
+            # extra (discarded) chains rather than erroring out
+            n_run = -(-n_chains // n_dev) * n_dev
+            if n_run != n_chains:
+                extra = jax.random.split(keys[0], 2 * (n_run - n_chains))
+                z_extra = z_map[None, :] + init_jitter * jax.random.normal(
+                    extra[0], (n_run - n_chains, p), dtype)
+                z0 = jnp.concatenate([z0, z_extra])
+                ck = jnp.concatenate([ck, extra[n_run - n_chains:]])
             z0 = jax.device_put(z0, NamedSharding(mesh, P(ax)))
-            ck = jax.device_put(keys[1:], NamedSharding(mesh, P(ax)))
-        else:
-            ck = keys[1:]
+            ck = jax.device_put(ck, NamedSharding(mesh, P(ax)))
         z_samps, aps = chain(z0, ck)
+        if n_run != n_chains:
+            z_samps = z_samps[:n_chains]
+            aps = jax.tree.map(lambda a: a[:n_chains], aps)
     theta = jax.vmap(jax.vmap(box.forward))(z_samps)
     return theta, aps
 

@@ -117,6 +117,21 @@ class TestGPHyperposterior:
         assert np.isfinite(th).all()
         assert th.min() >= 1e-4 - 1e-9 and th.max() <= 6.0 + 1e-9
 
+    def test_mesh_chains_not_divisible_by_devices(self):
+        """n_chains that doesn't tile the mesh is padded with throwaway
+        chains and sliced back (8-device mesh, 3 chains)."""
+        from gp_ss_ak_tpu.parallel import make_mesh
+
+        n = 16
+        X = np.linspace(-1, 1, n).reshape(-1, 1)
+        y = np.sin(2 * X[:, 0])
+        model = default_model(input_dim=1)
+        theta, aps = sample_hyperposterior(
+            model, X, y, jax.random.PRNGKey(5), n_samples=10,
+            n_warmup=10, n_chains=3, sampler="nuts", mesh=make_mesh(8))
+        assert np.asarray(theta).shape == (3, 10, 10)
+        assert np.isfinite(np.asarray(theta)).all()
+
     def test_distributed_value_and_grad_hook(self):
         """nlml_value_and_grad runs every leapfrog's O(N^3) on the
         sharded pipeline via a custom VJP — the sampler never
