@@ -63,11 +63,14 @@ def make_iterative_value_and_grad(
     tn: int = 512,
     interpret=None,
     jitter: float = 0.0,
+    precond_rank: int = 64,
 ):
     """Host-callable (f, g) over ONE jitted matrix-free TPU program.
 
     `jitter` is folded into the operator's noise (sn2 + jitter), the
-    matrix-free analogue of the dense engine adding jitter*I to A."""
+    matrix-free analogue of the dense engine adding jitter*I to A.
+    `precond_rank` > 0 turns every CG solve into PCG with a rank-k
+    pivoted-Cholesky Woodbury preconditioner (0 disables it)."""
     if not supports_iterative(model):
         raise ValueError(
             "iterative engine supports only Sum([ExpAns, Bias]) + "
@@ -90,11 +93,11 @@ def make_iterative_value_and_grad(
         val, alpha, _ = nlml_iterative(
             it_gp, yd, key_logdet, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             probes=probes, lanczos_iters=lanczos_iters, tm=tm, tn=tn,
-            interpret=interpret)
+            interpret=interpret, precond_rank=precond_rank)
         ds, db, dsn2, dXm = grad_iterative(
             it_gp, yd, key_trace, alpha=alpha, probes=probes,
             cg_tol=cg_tol, cg_maxiter=cg_maxiter, chunk=chunk, tm=tm,
-            tn=tn, interpret=interpret)
+            tn=tn, interpret=interpret, precond_rank=precond_rank)
         (d_ep,) = pullback(dXm)
         d_ep = dict(d_ep)
         d_ep["Sigma"] = d_ep["Sigma"] + ds

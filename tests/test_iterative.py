@@ -73,6 +73,62 @@ class TestCG:
         assert rel < 5e-3
 
 
+class TestPreconditioner:
+    def test_pivoted_cholesky_approximates_K(self):
+        from gp_ss_ak_tpu.inference.iterative import pivoted_cholesky
+
+        model, X, y, it_gp = setup(n=200)
+        K = model.kernel.matrix(model.kernel_params, X, X, same=True)
+        # rank 120 of a smooth 200-point kernel captures most energy
+        L = pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, 120)
+        err = float(jnp.linalg.norm(K - L @ L.T) / jnp.linalg.norm(K))
+        assert err < 0.05
+
+    def test_woodbury_inverts_P_exactly(self):
+        from gp_ss_ak_tpu.inference.iterative import (
+            pivoted_cholesky,
+            woodbury_preconditioner,
+        )
+
+        _, _, _, it_gp = setup(n=160)
+        L = pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, 32)
+        pinv = woodbury_preconditioner(L, it_gp.sn2)
+        P = L @ L.T + it_gp.sn2 * jnp.eye(160, dtype=L.dtype)
+        v = jnp.asarray(RNG.normal(size=160), jnp.float32)
+        got = pinv(jnp.asarray(P @ v))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_pcg_converges_in_fewer_iterations(self):
+        from gp_ss_ak_tpu.inference.iterative import (
+            make_preconditioner,
+            pcg_solve,
+        )
+
+        model, X, y, it_gp = setup(n=384)
+        op = MatvecOperator(it_gp.Xm, it_gp.sigma, it_gp.bias, it_gp.sn2,
+                            tm=128, tn=128)
+        _, it_plain, _ = cg_solve(op, y, tol=1e-5, maxiter=2000)
+        pinv = make_preconditioner(it_gp, 96)
+        x_pcg, it_pcg, _ = pcg_solve(op, y, pinv, tol=1e-5, maxiter=2000)
+        assert int(it_pcg) < int(it_plain)
+        A = dense_A(model, X)
+        ref = jnp.linalg.solve(A.astype(jnp.float64),
+                               y.astype(jnp.float64))
+        rel = float(jnp.linalg.norm(x_pcg - ref.astype(jnp.float32))
+                    / jnp.linalg.norm(ref))
+        assert rel < 5e-3
+
+    def test_preconditioned_nlml_matches_dense(self):
+        model, X, y, it_gp = setup(n=256)
+        val, alpha, iters = nlml_iterative(
+            it_gp, y, jax.random.PRNGKey(1), probes=24,
+            lanczos_iters=40, tm=128, tn=128, precond_rank=64)
+        dense = float(nlml(model.kernel, model.kernel_params,
+                           model.lik_hypers, X, y, model.likelihood))
+        assert float(val) == pytest.approx(dense, rel=0.02, abs=5.0)
+
+
 class TestSLQ:
     def test_logdet_within_tolerance(self):
         model, X, y, it_gp = setup(n=256)
