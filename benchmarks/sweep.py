@@ -12,6 +12,7 @@ use the estimators in utils/profiling (BASELINE.md metric).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -20,6 +21,23 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+
+def matmul_sol_tflops(reps=10):
+    """Measured speed-of-light reference: chain-timed 4096^3 f32
+    matmul at default precision (what XLA's Cholesky/TRSM/GEMM kernels
+    run at on this chip). Returns achieved TFLOP/s."""
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.utils import chain_timeit
+
+    a = jnp.ones((4096, 4096), jnp.float32) / 4096.0
+
+    def step(z, s):
+        return jnp.sum((z + s * 1e-30) @ a) * 1e-12
+
+    t = chain_timeit(step, a, reps=reps)
+    return 2.0 * 4096.0 ** 3 / t / 1e12
 
 
 def main(ns=(1024, 2048, 4096), reps=10):
@@ -37,6 +55,9 @@ def main(ns=(1024, 2048, 4096), reps=10):
     )
 
     rng = np.random.default_rng(0)
+    sol = matmul_sol_tflops(reps=reps)
+    print(json.dumps({"matmul_sol_tflops_f32_default": round(sol, 1)}),
+          flush=True)
     rows = []
     for n in ns:
         X = jnp.asarray(rng.uniform(-1, 1, size=(n, 3)), jnp.float32)
@@ -93,6 +114,8 @@ def main(ns=(1024, 2048, 4096), reps=10):
             "chol_ms": round(t_chol * 1e3, 3),
             "chol_tflops": round(achieved_tflops(
                 cholesky_flops(n), t_chol), 3),
+            "chol_pct_sol": round(100.0 * achieved_tflops(
+                cholesky_flops(n), t_chol) / sol, 1),
             "nlml_grad_ms": round(t_vg * 1e3, 3),
             "pred4096_ms": round(t_pred * 1e3, 3),
             "pred_per_s": round(4096 / t_pred, 0),
@@ -107,11 +130,24 @@ def main(ns=(1024, 2048, 4096), reps=10):
         with open(out) as fi:
             results = json.load(fi)
     results["backend"] = jax.default_backend()
-    results["rows_chain_timed"] = rows
+    # merge by n so partial reruns (e.g. retrying one size) keep
+    # previously measured rows
+    merged = {r["n"]: r for r in results.get("rows_chain_timed", [])}
+    for r in rows:
+        merged[r["n"]] = r
+    results["rows_chain_timed"] = [merged[k] for k in sorted(merged)]
+    results["matmul_sol_tflops_f32_default"] = round(sol, 1)
     with open(out, "w") as fo:
         json.dump(results, fo, indent=1)
     print(f"wrote {out}")
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default=None,
+                    help="comma-separated N list (default 1024,2048,4096)")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+    ns = (tuple(int(s) for s in args.sizes.split(","))
+          if args.sizes else (1024, 2048, 4096))
+    main(ns=ns, reps=args.reps)
