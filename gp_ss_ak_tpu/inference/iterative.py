@@ -110,21 +110,56 @@ def pivoted_cholesky(Xm: jnp.ndarray, sigma, bias, rank: int):
 
 def woodbury_preconditioner(L: jnp.ndarray, sn2):
     """P^-1 for P = L L^T + sn2 I via the Woodbury identity:
-    P^-1 v = (v - L M^-1 L^T v) / sn2,  M = sn2 I_k + L^T L."""
+    P^-1 v = (v - L M^-1 L^T v) / sn2,  M = sn2 I_k + L^T L.
+    Accepts a vector (n,) or a block of columns (n, B)."""
     k = L.shape[1]
     M = sn2 * jnp.eye(k, dtype=L.dtype) + jnp.matmul(
         L.T, L, precision=jax.lax.Precision.HIGHEST)
     cho = jax.scipy.linalg.cho_factor(M, lower=True)
 
     def pinv(v):
-        Ltv = jnp.matmul(L.T, v[:, None],
-                         precision=jax.lax.Precision.HIGHEST)[:, 0]
+        vm = v if v.ndim == 2 else v[:, None]
+        Ltv = jnp.matmul(L.T, vm, precision=jax.lax.Precision.HIGHEST)
         w = jax.scipy.linalg.cho_solve(cho, Ltv)
-        return (v - jnp.matmul(L, w[:, None],
-                               precision=jax.lax.Precision.HIGHEST)[:, 0]
-                ) / sn2
+        out = (vm - jnp.matmul(L, w,
+                               precision=jax.lax.Precision.HIGHEST)) / sn2
+        return out if v.ndim == 2 else out[:, 0]
 
     return pinv
+
+
+def precond_sqrt(L: jnp.ndarray, sn2):
+    """Exact P^(-1/2) apply and logdet P for P = L L^T + sn2 I.
+
+    From the k x k eigendecomposition L^T L = U S U^T: with
+    Q = L U S^(-1/2) (orthonormal columns where S > 0),
+      P          = sn2 (I - Q Q^T) + Q diag(S + sn2) Q^T
+      P^(-1/2) v = (v - Q Q^T v)/sqrt(sn2) + Q diag(1/sqrt(S+sn2)) Q^T v
+      logdet P   = (n - k') log sn2 + sum_{S_i>0} log(S_i + sn2)
+    All O(n k) GEMMs — MXU food. Returns (apply_inv_sqrt, logdet_P)."""
+    n, k = L.shape
+    LtL = jnp.matmul(L.T, L, precision=jax.lax.Precision.HIGHEST)
+    S, U = jnp.linalg.eigh(LtL)
+    S = jnp.maximum(S, 0.0)
+    mask = S > 1e-10
+    Q = jnp.matmul(L, U / jnp.sqrt(jnp.maximum(S, 1e-30))[None, :],
+                   precision=jax.lax.Precision.HIGHEST)
+    Q = Q * mask[None, :].astype(L.dtype)
+    inv_sqrt_eig = jnp.where(mask, 1.0 / jnp.sqrt(S + sn2), 0.0)
+    rsn = 1.0 / jnp.sqrt(sn2)
+    logdet_P = (n - jnp.sum(mask)) * jnp.log(sn2) \
+        + jnp.sum(jnp.where(mask, jnp.log(S + sn2), 0.0))
+
+    def apply_inv_sqrt(v):
+        vm = v if v.ndim == 2 else v[:, None]
+        Qtv = jnp.matmul(Q.T, vm, precision=jax.lax.Precision.HIGHEST)
+        out = (vm - jnp.matmul(Q, Qtv,
+                               precision=jax.lax.Precision.HIGHEST)) * rsn \
+            + jnp.matmul(Q, inv_sqrt_eig[:, None] * Qtv,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out if v.ndim == 2 else out[:, 0]
+
+    return apply_inv_sqrt, logdet_P
 
 
 def pcg_solve(matvec: Callable, b: jnp.ndarray, pinv: Callable,
@@ -157,6 +192,45 @@ def pcg_solve(matvec: Callable, b: jnp.ndarray, pinv: Callable,
     x, r, _z, _p, _rz, it = lax.while_loop(
         cond, body, (x, r, z, p, rz, jnp.asarray(0)))
     return x, it, jnp.sqrt(jnp.dot(r, r))
+
+
+def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
+              tol: float = 1e-5, maxiter: int = 500):
+    """Batched (P)CG: B independent right-hand sides advanced in
+    lock-step through ONE blocked matvec per iteration — all columns
+    share each pass over the streamed Gram tiles, which is the entire
+    cost of a matrix-free iteration. Converged columns freeze (their
+    step sizes are masked to zero). Returns (X (n,B), n_iters)."""
+    B_rhs = jnp.asarray(B_rhs)
+    X = jnp.zeros_like(B_rhs)
+    R = B_rhs
+    Z = pinv(R) if pinv is not None else R
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)
+    thresh = (tol ** 2) * jnp.sum(B_rhs * B_rhs, axis=0)
+
+    def cond(state):
+        _X, R, _Z, _P, _rz, it = state
+        return jnp.any(jnp.sum(R * R, axis=0) > thresh) & (it < maxiter)
+
+    def body(state):
+        X, R, Z, P, rz, it = state
+        active = jnp.sum(R * R, axis=0) > thresh
+        AP = matmat(P)
+        pAp = jnp.sum(P * AP, axis=0)
+        a = jnp.where(active, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        X = X + a[None, :] * P
+        R = R - a[None, :] * AP
+        Z = pinv(R) if pinv is not None else R
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(active,
+                         rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        P = Z + beta[None, :] * P
+        return X, R, Z, P, rz_new, it + 1
+
+    X, R, _Z, _P, _rz, it = lax.while_loop(
+        cond, body, (X, R, Z, P, rz, jnp.asarray(0)))
+    return X, it
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +279,64 @@ def slq_logdet(matvec: Callable, n: int, key, probes: int = 16,
     return jnp.mean(vals)
 
 
+def _lanczos_batched(matmat: Callable, V0: jnp.ndarray, k: int):
+    """k-step Lanczos on B probes at once — every step is ONE blocked
+    matvec. V0 (n, B); returns (alphas (k, B), betas (k-1, B))."""
+    V = V0 / jnp.linalg.norm(V0, axis=0, keepdims=True)
+
+    def body(carry, _):
+        V_prev, V_cur, beta_prev = carry
+        W = matmat(V_cur) - beta_prev[None, :] * V_prev
+        alpha = jnp.sum(W * V_cur, axis=0)
+        W = W - alpha[None, :] * V_cur
+        beta = jnp.linalg.norm(W, axis=0)
+        V_next = jnp.where(beta[None, :] > 1e-10,
+                           W / jnp.where(beta > 0, beta, 1.0)[None, :],
+                           jnp.zeros_like(W))
+        return (V_cur, V_next, beta), (alpha, beta)
+
+    b = V0.shape[1]
+    init = (jnp.zeros_like(V), V, jnp.zeros((b,), V.dtype))
+    _, (alphas, betas) = lax.scan(body, init, None, length=k)
+    return alphas, betas[:-1]
+
+
+def slq_logdet_batched(matmat: Callable, n: int, key, probes: int = 16,
+                       lanczos_iters: int = 32):
+    """Batched-probe SLQ: all probes ride the same blocked matvecs."""
+    Z = jax.random.rademacher(
+        key, (n, probes), jnp.float32).astype(jnp.float32)
+    alphas, betas = _lanczos_batched(matmat, Z, lanczos_iters)
+
+    def quad(a_col, b_col):
+        T = (jnp.diag(a_col) + jnp.diag(b_col, 1) + jnp.diag(b_col, -1))
+        w, V = jnp.linalg.eigh(T)
+        w = jnp.maximum(w, 1e-12)
+        return jnp.asarray(float(n), jnp.float32) * jnp.sum(
+            (V[0, :] ** 2) * jnp.log(w))
+
+    vals = jax.vmap(quad, in_axes=(1, 1))(alphas, betas)
+    return jnp.mean(vals)
+
+
+def slq_logdet_preconditioned(op_matmat: Callable, L: jnp.ndarray, sn2,
+                              n: int, key, probes: int = 16,
+                              lanczos_iters: int = 16):
+    """logdet A = logdet P + tr log(P^-1/2 A P^-1/2), with P the
+    rank-k pivoted-Cholesky preconditioner (exact logdet via the
+    determinant lemma) and SLQ only on the whitened residual operator
+    — whose spectrum is clustered at 1, so FEW Lanczos steps and low
+    probe variance (Wenger et al. 2022's variance-reduced recipe; cf.
+    the raw-A SLQ's large bias at the reference's sn2 = 0.016)."""
+    inv_sqrt, logdet_P = precond_sqrt(L, sn2)
+
+    def whitened(V):
+        return inv_sqrt(op_matmat(inv_sqrt(V)))
+
+    resid = slq_logdet_batched(whitened, n, key, probes, lanczos_iters)
+    return logdet_P + resid
+
+
 # ---------------------------------------------------------------------------
 # chunked differentiable matvec (for gradient contractions)
 # ---------------------------------------------------------------------------
@@ -249,10 +381,10 @@ def make_preconditioner(it_gp: IterativeGP, rank: int):
     return woodbury_preconditioner(L, it_gp.sn2)
 
 
-def _solve(op, b, pinv, tol, maxiter):
-    if pinv is None:
-        return cg_solve(op, b, tol=tol, maxiter=maxiter)
-    return pcg_solve(op, b, pinv, tol=tol, maxiter=maxiter)
+def _pivchol(it_gp: IterativeGP, rank: int):
+    if not rank:
+        return None
+    return pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, rank)
 
 
 def nlml_iterative(it_gp: IterativeGP, y, key, cg_tol: float = 1e-4,
@@ -266,14 +398,24 @@ def nlml_iterative(it_gp: IterativeGP, y, key, cg_tol: float = 1e-4,
     pivoted-Cholesky Woodbury preconditioner (the BBMM recipe): at the
     reference's small default noise (sn2 = 0.016) plain CG needs
     O(sqrt(kappa)) ~ hundreds of iterations, the preconditioned solve
-    tens. The SLQ logdet still probes the raw A (its Lanczos depth is
-    fixed, not residual-driven)."""
+    tens. The logdet then uses the variance-reduced split
+    logdet P + SLQ(P^-1/2 A P^-1/2) — the raw-A SLQ carries a large
+    bias at small sn2. All probe work runs through blocked matvecs
+    (op.matmat) so probes share the Gram-tile streaming."""
     y = jnp.asarray(y, jnp.float32)
     n = y.shape[0]
     op = _flagship_operator(it_gp, tm, tn, interpret)
-    pinv = make_preconditioner(it_gp, precond_rank)
-    alpha, it, _ = _solve(op, y, pinv, cg_tol, cg_maxiter)
-    half_logdet = 0.5 * slq_logdet(op, n, key, probes, lanczos_iters)
+    L = _pivchol(it_gp, precond_rank)
+    if L is None:
+        alpha, it, _ = cg_solve(op, y, tol=cg_tol, maxiter=cg_maxiter)
+        half_logdet = 0.5 * slq_logdet_batched(
+            op.matmat, n, key, probes, lanczos_iters)
+    else:
+        pinv = woodbury_preconditioner(L, it_gp.sn2)
+        alpha, it, _ = pcg_solve(op, y, pinv, tol=cg_tol,
+                                 maxiter=cg_maxiter)
+        half_logdet = 0.5 * slq_logdet_preconditioned(
+            op.matmat, L, it_gp.sn2, n, key, probes, lanczos_iters)
     val = 0.5 * jnp.dot(y, alpha) + half_logdet \
         + 0.5 * n * math.log(2.0 * math.pi)
     return val, alpha, it
@@ -294,13 +436,18 @@ def grad_iterative(it_gp: IterativeGP, y, key, alpha=None,
     n = y.shape[0]
     op = _flagship_operator(it_gp, tm, tn, interpret)
     pinv = make_preconditioner(it_gp, precond_rank)
+    Z = jax.random.rademacher(
+        key, (n, probes), jnp.float32).astype(jnp.float32)
     if alpha is None:
-        alpha, _, _ = _solve(op, y, pinv, cg_tol, cg_maxiter)
-    keys = jax.random.split(key, probes)
-    zs = jax.vmap(lambda k: jax.random.rademacher(
-        k, (n,), jnp.float32).astype(jnp.float32))(keys)
-    ws = jax.vmap(lambda z: _solve(op, z, pinv, cg_tol,
-                                   cg_maxiter)[0])(zs)
+        # alpha rides the same blocked solve as the probes
+        sols, _ = bcg_solve(op.matmat, jnp.concatenate(
+            [y[:, None], Z], axis=1), pinv, tol=cg_tol,
+            maxiter=cg_maxiter)
+        alpha, ws = sols[:, 0], sols[:, 1:].T
+    else:
+        ws = bcg_solve(op.matmat, Z, pinv, tol=cg_tol,
+                       maxiter=cg_maxiter)[0].T
+    zs = Z.T
     ws = lax.stop_gradient(ws)
     zs = lax.stop_gradient(zs)
     alpha = lax.stop_gradient(alpha)

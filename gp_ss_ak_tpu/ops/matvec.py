@@ -87,6 +87,68 @@ def _matvec(Xt, norms, v2, scalars, tm: int, tn: int, interpret: bool):
     return out[:, 0]
 
 
+def _matmat_kernel(scal_ref, xt_ref, norms_ref, v_ref, out_ref, *,
+                   tm: int, tn: int, n_col_tiles: int):
+    """out tile (tm, B) = sum_j K(i, j) @ V_j — B right-hand sides
+    share one pass over the Gram tiles (the streaming cost that
+    dominates a single matvec)."""
+    s2 = scal_ref[0]
+    b = v_ref.shape[0]
+    i = pl.program_id(0)
+    xi = xt_ref[:, pl.ds(i * tm, tm)]            # (dpad, tm)
+    ni = norms_ref[:, pl.ds(i * tm, tm)]         # (1, tm)
+
+    def body(j, acc):
+        xj = xt_ref[:, pl.ds(j * tn, tn)]        # (dpad, tn)
+        nj = norms_ref[:, pl.ds(j * tn, tn)]     # (1, tn)
+        cross = jax.lax.dot_general(
+            xi, xj, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (tm, tn)
+        d2 = ni.reshape(tm, 1) + nj.reshape(1, tn) - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        k = s2 * jnp.exp(-jnp.sqrt(d2))
+        rows = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+        cols = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+        k = jnp.where(rows == cols, s2, k)       # exact diagonal
+        vj = v_ref[:, pl.ds(j * tn, tn)]         # (B, tn)
+        contrib = jax.lax.dot_general(
+            k, vj, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (tm, B)
+        return acc + contrib
+
+    acc0 = jnp.zeros((tm, b), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n_col_tiles, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def _matmat(Xt, norms, V2, scalars, tm: int, tn: int, interpret: bool):
+    dpad, npad = Xt.shape
+    b = V2.shape[0]
+    grid = (npad // tm,)
+    kern = functools.partial(_matmat_kernel, tm=tm, tn=tn,
+                             n_col_tiles=npad // tn)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((npad, b), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # Xt full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # norms full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # V full
+        ],
+        out_specs=pl.BlockSpec((tm, b), lambda i: (i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * npad * (dpad + b),
+            bytes_accessed=4 * (npad * dpad + 3 * npad * b),
+            transcendentals=npad * npad),
+        interpret=interpret,
+    )(scalars, Xt, norms, V2)
+    return out
+
+
 class MatvecOperator:
     """A = s^2 exp(-dist) + bias + sn2 I as a matvec closure.
 
@@ -124,3 +186,17 @@ class MatvecOperator:
                     self.tm, self.tn, self.interpret)[: self.n]
         # rank-1 bias + diagonal noise, added at XLA level
         return y + self.bias * jnp.sum(v) + self.sn2 * v
+
+    def matmat(self, V):
+        """A @ V for V of shape (n, B): all B columns ride one pass
+        over the streamed Gram tiles (B is padded to a multiple of 8
+        for sublane alignment)."""
+        V = jnp.asarray(V, jnp.float32)
+        n, b = V.shape
+        bpad = _round_up(b, 8)
+        V2 = jnp.zeros((bpad, self.npad), jnp.float32
+                       ).at[:b, : self.n].set(V.T)
+        Y = _matmat(self.Xt, self.norms, V2, self.scalars,
+                    self.tm, self.tn, self.interpret)[: self.n, :b]
+        return Y + self.bias * jnp.sum(V, axis=0)[None, :] \
+            + self.sn2 * V

@@ -129,6 +129,86 @@ class TestPreconditioner:
         assert float(val) == pytest.approx(dense, rel=0.02, abs=5.0)
 
 
+class TestMatmat:
+    def test_matches_dense_matmat(self):
+        model, X, y, it_gp = setup(n=300)
+        op = MatvecOperator(it_gp.Xm, it_gp.sigma, it_gp.bias, it_gp.sn2,
+                            tm=128, tn=128)
+        A = dense_A(model, X)
+        V = jnp.asarray(RNG.normal(size=(300, 5)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(op.matmat(V)),
+                                   np.asarray(A @ V),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestBatchedCG:
+    def test_solves_multiple_rhs(self):
+        from gp_ss_ak_tpu.inference.iterative import (
+            bcg_solve,
+            make_preconditioner,
+        )
+
+        model, X, y, it_gp = setup(n=256)
+        op = MatvecOperator(it_gp.Xm, it_gp.sigma, it_gp.bias, it_gp.sn2,
+                            tm=128, tn=128)
+        B = jnp.asarray(RNG.normal(size=(256, 4)), jnp.float32)
+        A = dense_A(model, X).astype(jnp.float64)
+        ref = jnp.linalg.solve(A, B.astype(jnp.float64))
+        for pinv in (None, make_preconditioner(it_gp, 64)):
+            Xsol, it = bcg_solve(op.matmat, B, pinv, tol=1e-5,
+                                 maxiter=2000)
+            rel = float(jnp.linalg.norm(Xsol - ref.astype(jnp.float32))
+                        / jnp.linalg.norm(ref))
+            assert rel < 5e-3, (pinv is None, rel)
+
+
+class TestPrecondSLQ:
+    def test_precond_sqrt_identities(self):
+        from gp_ss_ak_tpu.inference.iterative import (
+            pivoted_cholesky,
+            precond_sqrt,
+        )
+
+        _, _, _, it_gp = setup(n=160)
+        L = pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, 40)
+        inv_sqrt, logdet_P = precond_sqrt(L, it_gp.sn2)
+        P = (L @ L.T + it_gp.sn2 * jnp.eye(160, dtype=L.dtype)
+             ).astype(jnp.float64)
+        # exact logdet
+        want = float(jnp.linalg.slogdet(P)[1])
+        assert float(logdet_P) == pytest.approx(want, rel=1e-4, abs=1e-2)
+        # P^(-1/2) P P^(-1/2) = I
+        V = jnp.asarray(RNG.normal(size=(160, 3)), jnp.float32)
+        W = inv_sqrt(jnp.asarray(P @ inv_sqrt(V), jnp.float32))
+        np.testing.assert_allclose(np.asarray(W), np.asarray(V),
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_preconditioned_logdet_beats_raw_slq(self):
+        """At the reference's small sn2 the raw-A SLQ carries a ~1%+
+        bias (28% of the NLML at N=8192); the preconditioned split
+        (exact logdet P + SLQ on the whitened residual) must beat it
+        at the SAME probe/step budget and land within 1%."""
+        from gp_ss_ak_tpu.inference.iterative import (
+            pivoted_cholesky,
+            slq_logdet_batched,
+            slq_logdet_preconditioned,
+        )
+
+        n = 1024
+        model, X, y, it_gp = setup(n=n)
+        A32 = dense_A(model, X)
+        true = float(jnp.linalg.slogdet(A32.astype(jnp.float64))[1])
+        mm = lambda V: A32 @ V  # noqa: E731 - dense stand-in matmat
+        L = pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, 64)
+        est = float(slq_logdet_preconditioned(
+            mm, L, it_gp.sn2, n, jax.random.PRNGKey(3),
+            probes=8, lanczos_iters=16))
+        raw = float(slq_logdet_batched(mm, n, jax.random.PRNGKey(3),
+                                       probes=8, lanczos_iters=16))
+        assert abs(est - true) < abs(raw - true)
+        assert abs(est - true) / abs(true) < 0.01
+
+
 class TestSLQ:
     def test_logdet_within_tolerance(self):
         model, X, y, it_gp = setup(n=256)
