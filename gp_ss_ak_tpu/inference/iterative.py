@@ -447,19 +447,37 @@ def grad_iterative(it_gp: IterativeGP, y, key, alpha=None,
     else:
         ws = bcg_solve(op.matmat, Z, pinv, tol=cg_tol,
                        maxiter=cg_maxiter)[0].T
-    zs = Z.T
-    ws = lax.stop_gradient(ws)
-    zs = lax.stop_gradient(zs)
-    alpha = lax.stop_gradient(alpha)
+    return _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
+
+
+def _grad_contraction(it_gp: IterativeGP, alpha, ws, zs, chunk: int):
+    """The differentiable part of the gradient: given the solved
+    alpha = A^-1 y and probe pairs (w = A^-1 z, z), contract against
+    dA/dtheta through a chunked dense row build (O(chunk x N) live
+    memory under remat; kernel math identical to the Pallas forward).
+
+    grad = d/dtheta [ 1/2 mean_z w' A(theta) z - 1/2 alpha' A alpha ]
+         = d/dtheta [ 1/2 sum_j c_j U[:,j]' (A V)[:,j] ]
+    with U = [w_1..w_m, alpha], V = [z_1..z_m, alpha],
+    c = [1/m.., -1] — ONE chunked pass over the Gram rows carries all
+    m+1 contraction columns (the row build, not the GEMM, dominates)."""
+    n = alpha.shape[0]
+    m = ws.shape[0]
+    U = lax.stop_gradient(
+        jnp.concatenate([ws.T, alpha[:, None]], axis=1))    # (n, m+1)
+    V = lax.stop_gradient(
+        jnp.concatenate([zs.T, alpha[:, None]], axis=1))    # (n, m+1)
+    coef = jnp.concatenate([jnp.full((m,), 1.0 / m, jnp.float32),
+                            jnp.full((1,), -1.0, jnp.float32)])
 
     npad = ((n + chunk - 1) // chunk) * chunk
-    Xp = jnp.zeros((npad, it_gp.Xm.shape[1]), jnp.float32
-                   ).at[:n].set(it_gp.Xm)
+    Vp = jnp.zeros((npad, m + 1), jnp.float32).at[:n].set(V)
+    Up = jnp.zeros((npad, m + 1), jnp.float32).at[:n].set(U)
     valid = (jnp.arange(npad) < n)
 
     def contraction(theta):
         sigma, bias, sn2, Xm_ = theta
-        Xp_ = jnp.zeros_like(Xp).at[:n].set(Xm_)
+        Xp_ = jnp.zeros((npad, Xm_.shape[1]), jnp.float32).at[:n].set(Xm_)
 
         def row_chunk(c):
             start = c * chunk
@@ -474,17 +492,55 @@ def grad_iterative(it_gp: IterativeGP, y, key, alpha=None,
                 & valid[None, :]
             return jnp.where(mask, k, 0.0)
 
-        def mv(v):
-            vp = jnp.zeros((npad,), jnp.float32).at[:n].set(v)
-            ys = lax.map(
-                jax.remat(lambda c: row_chunk(c) @ vp),
-                jnp.arange(npad // chunk))
-            return ys.reshape(-1)[:n]
+        def one(c):
+            # (chunk, m+1) = rows of A V, contracted against U rows
+            AVc = row_chunk(c) @ Vp
+            Uc = lax.dynamic_slice_in_dim(Up, c * chunk, chunk)
+            return jnp.sum(Uc * AVc, axis=0)                # (m+1,)
 
-        tr_term = jnp.mean(jax.vmap(
-            lambda w, z: jnp.dot(w, mv(z)))(ws, zs))
-        fit_term = jnp.dot(alpha, mv(alpha))
-        return 0.5 * tr_term - 0.5 * fit_term
+        per_col = lax.map(jax.remat(one), jnp.arange(npad // chunk))
+        return 0.5 * jnp.dot(jnp.sum(per_col, axis=0), coef)
 
     theta0 = (it_gp.sigma, it_gp.bias, it_gp.sn2, it_gp.Xm)
     return jax.grad(contraction)(theta0)
+
+
+def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
+                            cg_tol: float = 1e-4, cg_maxiter: int = 800,
+                            probes: int = 8, lanczos_iters: int = 32,
+                            chunk: int = 1024, tm: int = 512,
+                            tn: int = 512, interpret=None,
+                            precond_rank: int = 64):
+    """Fused NLML + gradient, sharing every expensive intermediate:
+
+      * the pivoted Cholesky L is built ONCE (nlml_iterative +
+        grad_iterative each built their own),
+      * alpha = A^-1 y rides the SAME batched PCG as the Hutchinson
+        probe solves — [y | Z] in lock-step, so the y-solve costs no
+        extra passes over the streamed Gram tiles.
+
+    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters)."""
+    y = jnp.asarray(y, jnp.float32)
+    n = y.shape[0]
+    op = _flagship_operator(it_gp, tm, tn, interpret)
+    L = _pivchol(it_gp, precond_rank)
+    Z = jax.random.rademacher(
+        key_trace, (n, probes), jnp.float32).astype(jnp.float32)
+    rhs = jnp.concatenate([y[:, None], Z], axis=1)
+    if L is None:
+        sols, it = bcg_solve(op.matmat, rhs, None, tol=cg_tol,
+                             maxiter=cg_maxiter)
+        half_logdet = 0.5 * slq_logdet_batched(
+            op.matmat, n, key_logdet, probes, lanczos_iters)
+    else:
+        pinv = woodbury_preconditioner(L, it_gp.sn2)
+        sols, it = bcg_solve(op.matmat, rhs, pinv, tol=cg_tol,
+                             maxiter=cg_maxiter)
+        half_logdet = 0.5 * slq_logdet_preconditioned(
+            op.matmat, L, it_gp.sn2, n, key_logdet, probes,
+            lanczos_iters)
+    alpha, ws = sols[:, 0], sols[:, 1:].T
+    val = 0.5 * jnp.dot(y, alpha) + half_logdet \
+        + 0.5 * n * math.log(2.0 * math.pi)
+    grads = _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
+    return val, grads, it

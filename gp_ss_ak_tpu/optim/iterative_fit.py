@@ -28,8 +28,7 @@ import numpy as np
 
 from gp_ss_ak_tpu.inference.iterative import (
     IterativeGP,
-    grad_iterative,
-    nlml_iterative,
+    nlml_and_grad_iterative,
 )
 from gp_ss_ak_tpu.inference.likelihoods import Gaussian
 from gp_ss_ak_tpu.model import GPModel
@@ -90,14 +89,11 @@ def make_iterative_value_and_grad(
         Xm, pullback = jax.vjp(lambda e: mapped_points(expans, e, Xd), ep)
         it_gp = IterativeGP(Xm=Xm, sigma=ep["Sigma"], bias=bp["Sigma"],
                             sn2=sn2)
-        val, alpha, _ = nlml_iterative(
-            it_gp, yd, key_logdet, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-            probes=probes, lanczos_iters=lanczos_iters, tm=tm, tn=tn,
+        val, (ds, db, dsn2, dXm), _ = nlml_and_grad_iterative(
+            it_gp, yd, key_logdet, key_trace, cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter, probes=probes,
+            lanczos_iters=lanczos_iters, chunk=chunk, tm=tm, tn=tn,
             interpret=interpret, precond_rank=precond_rank)
-        ds, db, dsn2, dXm = grad_iterative(
-            it_gp, yd, key_trace, alpha=alpha, probes=probes,
-            cg_tol=cg_tol, cg_maxiter=cg_maxiter, chunk=chunk, tm=tm,
-            tn=tn, interpret=interpret, precond_rank=precond_rank)
         (d_ep,) = pullback(dXm)
         d_ep = dict(d_ep)
         d_ep["Sigma"] = d_ep["Sigma"] + ds

@@ -209,6 +209,34 @@ class TestPrecondSLQ:
         assert abs(est - true) / abs(true) < 0.01
 
 
+class TestFusedValueAndGrad:
+    def test_matches_separate_nlml_and_grad(self):
+        from gp_ss_ak_tpu.inference.iterative import (
+            grad_iterative,
+            nlml_and_grad_iterative,
+            nlml_iterative,
+        )
+
+        model, X, y, it_gp = setup(n=256)
+        k1, k2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+        kw = dict(cg_tol=1e-6, cg_maxiter=2000, probes=8,
+                  lanczos_iters=24, precond_rank=48, tm=128, tn=128)
+        val_f, grads_f, _ = nlml_and_grad_iterative(
+            it_gp, y, k1, k2, chunk=128, **kw)
+        val_s, alpha, _ = nlml_iterative(it_gp, y, k1, **kw)
+        grads_s = grad_iterative(it_gp, y, k2, alpha=alpha, chunk=128,
+                                 **{k: v for k, v in kw.items()
+                                    if k != "lanczos_iters"})
+        assert float(val_f) == pytest.approx(float(val_s), rel=1e-4,
+                                             abs=1e-2)
+        for gf, gs in zip(grads_f[:3], grads_s[:3]):
+            assert float(gf) == pytest.approx(float(gs), rel=1e-3,
+                                              abs=1e-3)
+        np.testing.assert_allclose(np.asarray(grads_f[3]),
+                                   np.asarray(grads_s[3]),
+                                   rtol=1e-3, atol=1e-3)
+
+
 class TestSLQ:
     def test_logdet_within_tolerance(self):
         model, X, y, it_gp = setup(n=256)
