@@ -83,6 +83,7 @@ def eval_row(n, reps=5):
         "n": n,
         "nlml": float(v),
         "compile_s": round(compile_s, 2),
+        "cg_iters": vg.last_cg_iters,
         "nlml_grad_ms_median": round(1e3 * float(np.median(times)), 2),
         "nlml_grad_ms_all": [round(1e3 * t, 2) for t in times],
     }
@@ -109,6 +110,14 @@ def crosscheck(n=CROSSCHECK_N):
     v_it, _ = vg_it(flat)
     out["nlml_iterative_f32"] = float(v_it)
 
+    # probe-to-probe spread of the stochastic logdet: re-evaluate with
+    # independent SLQ keys — the NLML estimator's honest error bar
+    seeds = [make_iterative_value_and_grad(model, X, y, seed=s)(flat)[0]
+             for s in range(1, 5)]
+    vals = np.asarray([float(v_it)] + [float(v) for v in seeds])
+    out["nlml_iterative_seed_std"] = float(np.std(vals))
+    out["nlml_iterative_seed_spread"] = [float(v) for v in vals]
+
     # f64 oracle (bench.cpu_nlml_grad — finite-difference-validated)
     spec = importlib.util.spec_from_file_location(
         "benchmod", os.path.join(HERE, "..", "bench.py"))
@@ -123,6 +132,8 @@ def crosscheck(n=CROSSCHECK_N):
     out["cpu_f64_oracle_nlml"] = float(nl64)
     out["cpu_f64_oracle_s"] = round(time.perf_counter() - t0, 1)
     out["iterative_vs_f64_rel"] = abs(float(v_it) - nl64) / abs(nl64)
+    out["iterative_vs_f64_nats_per_point"] = abs(float(v_it) - nl64) / n
+    out["iterative_mean_vs_f64_nats"] = abs(float(np.mean(vals)) - nl64)
 
     # dense f32 on-chip (may be slow to compile at this N; guarded)
     try:
@@ -200,6 +211,18 @@ def main():
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             data = json.load(f)
+    prev = data.get("large_n", {})
+    # merge eval rows by n (latest wins); keep prior crosscheck/fit if
+    # this invocation skipped or failed them
+    merged = {r["n"]: r for r in prev.get("rows", []) if "n" in r}
+    for r in out["rows"]:
+        if "n" in r and "error" not in r:
+            merged[r["n"]] = r
+    out["rows"] = [merged[k] for k in sorted(merged)]
+    for key in ("crosscheck", "fit"):
+        if key in prev and ("error" in out.get(key, {})
+                            or key not in out):
+            out[key] = prev[key]
     data["large_n"] = out
     with open(RESULTS, "w") as f:
         json.dump(data, f, indent=1)

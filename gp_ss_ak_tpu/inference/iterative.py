@@ -510,7 +510,8 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
                             probes: int = 8, lanczos_iters: int = 32,
                             chunk: int = 1024, tm: int = 512,
                             tn: int = 512, interpret=None,
-                            precond_rank: int = 64):
+                            precond_rank: int = 64,
+                            slq_probes: int = 64):
     """Fused NLML + gradient, sharing every expensive intermediate:
 
       * the pivoted Cholesky L is built ONCE (nlml_iterative +
@@ -518,6 +519,12 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
       * alpha = A^-1 y rides the SAME batched PCG as the Hutchinson
         probe solves — [y | Z] in lock-step, so the y-solve costs no
         extra passes over the streamed Gram tiles.
+
+    `slq_probes` sets the logdet probe count separately from the
+    gradient's `probes`: the batched Lanczos cost is flat in its probe
+    count (the Gram-tile streaming dominates; measured 0.064 s/call at
+    N=8192 for 8 AND 64 probes), so the logdet gets many probes for
+    free while each gradient probe adds a column to the PCG solve.
 
     Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters)."""
     y = jnp.asarray(y, jnp.float32)
@@ -531,13 +538,13 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
         sols, it = bcg_solve(op.matmat, rhs, None, tol=cg_tol,
                              maxiter=cg_maxiter)
         half_logdet = 0.5 * slq_logdet_batched(
-            op.matmat, n, key_logdet, probes, lanczos_iters)
+            op.matmat, n, key_logdet, slq_probes, lanczos_iters)
     else:
         pinv = woodbury_preconditioner(L, it_gp.sn2)
         sols, it = bcg_solve(op.matmat, rhs, pinv, tol=cg_tol,
                              maxiter=cg_maxiter)
         half_logdet = 0.5 * slq_logdet_preconditioned(
-            op.matmat, L, it_gp.sn2, n, key_logdet, probes,
+            op.matmat, L, it_gp.sn2, n, key_logdet, slq_probes,
             lanczos_iters)
     alpha, ws = sols[:, 0], sols[:, 1:].T
     val = 0.5 * jnp.dot(y, alpha) + half_logdet \

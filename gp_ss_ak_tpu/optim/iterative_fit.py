@@ -63,6 +63,7 @@ def make_iterative_value_and_grad(
     interpret=None,
     jitter: float = 0.0,
     precond_rank: int = 64,
+    slq_probes: int = 64,
 ):
     """Host-callable (f, g) over ONE jitted matrix-free TPU program.
 
@@ -89,22 +90,25 @@ def make_iterative_value_and_grad(
         Xm, pullback = jax.vjp(lambda e: mapped_points(expans, e, Xd), ep)
         it_gp = IterativeGP(Xm=Xm, sigma=ep["Sigma"], bias=bp["Sigma"],
                             sn2=sn2)
-        val, (ds, db, dsn2, dXm), _ = nlml_and_grad_iterative(
+        val, (ds, db, dsn2, dXm), cg_it = nlml_and_grad_iterative(
             it_gp, yd, key_logdet, key_trace, cg_tol=cg_tol,
             cg_maxiter=cg_maxiter, probes=probes,
             lanczos_iters=lanczos_iters, chunk=chunk, tm=tm, tn=tn,
-            interpret=interpret, precond_rank=precond_rank)
+            interpret=interpret, precond_rank=precond_rank,
+            slq_probes=slq_probes)
         (d_ep,) = pullback(dXm)
         d_ep = dict(d_ep)
         d_ep["Sigma"] = d_ep["Sigma"] + ds
         g_kernel = kernel.pack((d_ep, {"Sigma": db}))
         g = jnp.concatenate([g_kernel, jnp.reshape(dsn2, (1,))])
-        return val, g
+        return val, g, cg_it
 
     jitted = jax.jit(vg)
 
     def value_and_grad(x_np: np.ndarray):
-        v, g = jitted(jnp.asarray(x_np, jnp.float32))
+        v, g, it = jitted(jnp.asarray(x_np, jnp.float32))
+        value_and_grad.last_cg_iters = int(it)
         return float(v), np.asarray(g, np.float64)
 
+    value_and_grad.last_cg_iters = None
     return value_and_grad
