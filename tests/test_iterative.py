@@ -221,8 +221,10 @@ class TestFusedValueAndGrad:
         k1, k2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
         kw = dict(cg_tol=1e-6, cg_maxiter=2000, probes=8,
                   lanczos_iters=24, precond_rank=48, tm=128, tn=128)
+        # slq_probes pinned to the separate path's probe count so the
+        # two logdet estimators see identical Rademacher draws
         val_f, grads_f, _ = nlml_and_grad_iterative(
-            it_gp, y, k1, k2, chunk=128, **kw)
+            it_gp, y, k1, k2, chunk=128, slq_probes=8, **kw)
         val_s, alpha, _ = nlml_iterative(it_gp, y, k1, **kw)
         grads_s = grad_iterative(it_gp, y, k2, alpha=alpha, chunk=128,
                                  **{k: v for k, v in kw.items()
