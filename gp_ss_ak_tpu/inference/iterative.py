@@ -17,6 +17,17 @@ Everything is f32; CG tolerance and probe/step counts trade accuracy
 for time explicitly. For N <= a few thousand prefer the dense path
 (inference/gaussian.py) — this module exists for the 10^4..10^5+
 single-chip regime (BASELINE config 3 without a pod).
+
+Operator modes (`choose_mode`): the streamed Pallas operator pays one
+full O(N^2) distance+exp pass per matvec, and a CG+SLQ evaluation
+makes ~50-70 of them. Whenever A fits in HBM it is materialized ONCE
+per hyperparameter setting instead:
+  chol      (N <= ~32k) exact Cholesky — exact alpha/logdet, exact
+            Hutchinson probe solves; no CG, no SLQ bias.
+  gemm      (N <= ~49k) A in f32; PCG + SLQ matvecs become GEMMs at
+            the HBM-bandwidth floor.
+  gemm_bf16 (N <= ~73k) A in bf16 (matvec ~1e-3 relative; fit-grade).
+  stream    beyond — the original tile-streaming path.
 """
 
 from __future__ import annotations
@@ -364,10 +375,51 @@ class IterativeGP(NamedTuple):
     sn2: jnp.ndarray
 
 
-def _flagship_operator(it_gp: IterativeGP, tm=512, tn=512,
-                       interpret=None):
-    from gp_ss_ak_tpu.ops.matvec import MatvecOperator
+#: operator-mode size thresholds (auto selection), sized for a 16 GB
+#: v5e chip with headroom for solver state:
+#:   chol : A + L both live in f32 during the factorization (8 N^2 B)
+#:   gemm : A in f32 (4 N^2 B)  /  gemm_bf16 : A in bf16 (2 N^2 B)
+CHOL_MATERIALIZE_MAX_N = 32768
+GEMM_MATERIALIZE_MAX_N_F32 = 49152
+GEMM_MATERIALIZE_MAX_N_BF16 = 73728
 
+
+def choose_mode(n: int, mode: str = "auto") -> str:
+    """Resolve the engine mode for problem size n.
+
+    Modes:
+      chol      — materialize A (fused Pallas build), exact Cholesky:
+                  exact alpha/logdet, Hutchinson gradient with EXACT
+                  probe solves (no CG, no SLQ bias).
+      gemm      — materialize A in f32; PCG + SLQ run as GEMMs.
+      gemm_bf16 — materialize A in bfloat16 (documented ~1e-3 matvec
+                  accuracy; fit-grade).
+      stream    — never materialize: Pallas streamed Gram tiles per
+                  matvec (the only option beyond ~73k on one chip).
+    """
+    if mode != "auto":
+        valid = ("chol", "gemm", "gemm_bf16", "stream")
+        if mode not in valid:
+            raise ValueError(f"mode must be one of {valid} or 'auto'")
+        return mode
+    if n <= CHOL_MATERIALIZE_MAX_N:
+        return "chol"
+    if n <= GEMM_MATERIALIZE_MAX_N_F32:
+        return "gemm"
+    if n <= GEMM_MATERIALIZE_MAX_N_BF16:
+        return "gemm_bf16"
+    return "stream"
+
+
+def _flagship_operator(it_gp: IterativeGP, tm=512, tn=512,
+                       interpret=None, mode: str = "stream"):
+    from gp_ss_ak_tpu.ops.matvec import MaterializedOperator, MatvecOperator
+
+    if mode in ("gemm", "gemm_bf16"):
+        dt = jnp.float32 if mode == "gemm" else jnp.bfloat16
+        return MaterializedOperator(it_gp.Xm, it_gp.sigma, it_gp.bias,
+                                    it_gp.sn2, store_dtype=dt,
+                                    interpret=interpret)
     return MatvecOperator(it_gp.Xm, it_gp.sigma, it_gp.bias, it_gp.sn2,
                           tm=tm, tn=tn, interpret=interpret)
 
@@ -390,9 +442,15 @@ def _pivchol(it_gp: IterativeGP, rank: int):
 def nlml_iterative(it_gp: IterativeGP, y, key, cg_tol: float = 1e-4,
                    cg_maxiter: int = 800, probes: int = 16,
                    lanczos_iters: int = 32, tm: int = 512, tn: int = 512,
-                   interpret=None, precond_rank: int = 64):
+                   interpret=None, precond_rank: int = 64,
+                   mode: str = "stream"):
     """Matrix-free NLML: 1/2 y'alpha + 1/2 slq_logdet + n/2 log 2pi.
     Returns (value, alpha, cg_iters).
+
+    `mode` (see `choose_mode`; default keeps the historical streamed
+    behavior): "chol" computes the exact value via a materialized
+    Cholesky; "gemm"/"gemm_bf16" materialize A and run the same
+    PCG+SLQ estimate at GEMM speed.
 
     `precond_rank` > 0 runs the solves as PCG with a rank-k
     pivoted-Cholesky Woodbury preconditioner (the BBMM recipe): at the
@@ -404,7 +462,14 @@ def nlml_iterative(it_gp: IterativeGP, y, key, cg_tol: float = 1e-4,
     (op.matmat) so probes share the Gram-tile streaming."""
     y = jnp.asarray(y, jnp.float32)
     n = y.shape[0]
-    op = _flagship_operator(it_gp, tm, tn, interpret)
+    mode = choose_mode(n, mode)
+    if mode == "chol":
+        Lc, half_logdet = _materialized_chol(it_gp, interpret)
+        alpha = jax.scipy.linalg.cho_solve((Lc, True), y)
+        val = 0.5 * jnp.dot(y, alpha) + half_logdet \
+            + 0.5 * n * math.log(2.0 * math.pi)
+        return val, alpha, jnp.asarray(0)
+    op = _flagship_operator(it_gp, tm, tn, interpret, mode=mode)
     L = _pivchol(it_gp, precond_rank)
     if L is None:
         alpha, it, _ = cg_solve(op, y, tol=cg_tol, maxiter=cg_maxiter)
@@ -505,13 +570,60 @@ def _grad_contraction(it_gp: IterativeGP, alpha, ws, zs, chunk: int):
     return jax.grad(contraction)(theta0)
 
 
+def _materialized_chol(it_gp: IterativeGP, interpret=None):
+    """Build A with the fused Pallas Gram kernel and factor it.
+    Returns (L, half_logdet). A is dead after the factorization, so
+    peak HBM is A + L (8 N^2 bytes) — N <= ~32k on a 16 GB chip."""
+    from gp_ss_ak_tpu.ops.pairwise import expans_bias_gram
+
+    A = expans_bias_gram(it_gp.Xm, it_gp.sigma, it_gp.bias, it_gp.sn2,
+                         interpret=interpret)
+    L = jnp.linalg.cholesky(A)
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+    return L, half_logdet
+
+
+def nlml_and_grad_chol(it_gp: IterativeGP, y, key_trace,
+                       probes: int = 16, chunk: int = 1024,
+                       interpret=None):
+    """Materialized exact-Cholesky NLML + Hutchinson gradient.
+
+    alpha and logdet are EXACT (dense factorization of the fused-built
+    A); the only stochastic piece is the Hutchinson estimate of
+    tr(A^-1 dA) in the gradient, whose probe solves are exact
+    triangular solves (cho_solve) instead of CG. Compared to the
+    CG+SLQ path this removes the SLQ logdet bias entirely and replaces
+    ~50-70 O(N^2) operator passes with one fused Gram build + one
+    O(N^3/3) Cholesky — the fastest and most accurate option whenever
+    A + L fit in HBM (N <= ~32k in f32 on a v5e).
+
+    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters=0).
+    A failed factorization propagates NaN into the value — the
+    optimizers' NaN-rejection protocol (reference behavior,
+    GP_Utils.cpp:884-887) handles it.
+    """
+    y = jnp.asarray(y, jnp.float32)
+    n = y.shape[0]
+    L, half_logdet = _materialized_chol(it_gp, interpret)
+    Z = jax.random.rademacher(
+        key_trace, (n, probes), jnp.float32).astype(jnp.float32)
+    rhs = jnp.concatenate([y[:, None], Z], axis=1)
+    sols = jax.scipy.linalg.cho_solve((L, True), rhs)
+    alpha, ws = sols[:, 0], sols[:, 1:].T
+    val = 0.5 * jnp.dot(y, alpha) + half_logdet \
+        + 0.5 * n * math.log(2.0 * math.pi)
+    grads = _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
+    return val, grads, jnp.asarray(0)
+
+
 def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
                             cg_tol: float = 1e-4, cg_maxiter: int = 800,
                             probes: int = 8, lanczos_iters: int = 32,
                             chunk: int = 1024, tm: int = 512,
                             tn: int = 512, interpret=None,
                             precond_rank: int = 64,
-                            slq_probes: int = 64):
+                            slq_probes: int = 64,
+                            mode: str = "auto"):
     """Fused NLML + gradient, sharing every expensive intermediate:
 
       * the pivoted Cholesky L is built ONCE (nlml_iterative +
@@ -526,10 +638,20 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
     N=8192 for 8 AND 64 probes), so the logdet gets many probes for
     free while each gradient probe adds a column to the PCG solve.
 
+    `mode` picks the operator strategy (see `choose_mode`): "chol"
+    short-circuits to `nlml_and_grad_chol` (exact value, exact probe
+    solves); "gemm"/"gemm_bf16" materialize A once and run the same
+    CG+SLQ flow at GEMM speed; "stream" never materializes. "auto"
+    resolves by N against the 16 GB-chip thresholds.
+
     Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters)."""
     y = jnp.asarray(y, jnp.float32)
     n = y.shape[0]
-    op = _flagship_operator(it_gp, tm, tn, interpret)
+    mode = choose_mode(n, mode)
+    if mode == "chol":
+        return nlml_and_grad_chol(it_gp, y, key_trace, probes=probes,
+                                  chunk=chunk, interpret=interpret)
+    op = _flagship_operator(it_gp, tm, tn, interpret, mode=mode)
     L = _pivchol(it_gp, precond_rank)
     Z = jax.random.rademacher(
         key_trace, (n, probes), jnp.float32).astype(jnp.float32)

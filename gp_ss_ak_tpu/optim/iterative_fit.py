@@ -64,13 +64,18 @@ def make_iterative_value_and_grad(
     jitter: float = 0.0,
     precond_rank: int = 64,
     slq_probes: int = 64,
+    mode: str = "auto",
 ):
     """Host-callable (f, g) over ONE jitted matrix-free TPU program.
 
     `jitter` is folded into the operator's noise (sn2 + jitter), the
     matrix-free analogue of the dense engine adding jitter*I to A.
     `precond_rank` > 0 turns every CG solve into PCG with a rank-k
-    pivoted-Cholesky Woodbury preconditioner (0 disables it)."""
+    pivoted-Cholesky Woodbury preconditioner (0 disables it).
+    `mode` selects the operator strategy (inference.iterative.choose_mode):
+    auto materializes A when it fits in HBM — exact Cholesky up to
+    N~32k ("chol": exact value, exact probe solves), GEMM-backed
+    PCG+SLQ up to ~49k f32 / ~73k bf16, streamed Pallas tiles beyond."""
     if not supports_iterative(model):
         raise ValueError(
             "iterative engine supports only Sum([ExpAns, Bias]) + "
@@ -95,7 +100,7 @@ def make_iterative_value_and_grad(
             cg_maxiter=cg_maxiter, probes=probes,
             lanczos_iters=lanczos_iters, chunk=chunk, tm=tm, tn=tn,
             interpret=interpret, precond_rank=precond_rank,
-            slq_probes=slq_probes)
+            slq_probes=slq_probes, mode=mode)
         (d_ep,) = pullback(dXm)
         d_ep = dict(d_ep)
         d_ep["Sigma"] = d_ep["Sigma"] + ds

@@ -222,9 +222,11 @@ class TestFusedValueAndGrad:
         kw = dict(cg_tol=1e-6, cg_maxiter=2000, probes=8,
                   lanczos_iters=24, precond_rank=48, tm=128, tn=128)
         # slq_probes pinned to the separate path's probe count so the
-        # two logdet estimators see identical Rademacher draws
+        # two logdet estimators see identical Rademacher draws;
+        # mode pinned to the streamed operator (the separate-call path)
         val_f, grads_f, _ = nlml_and_grad_iterative(
-            it_gp, y, k1, k2, chunk=128, slq_probes=8, **kw)
+            it_gp, y, k1, k2, chunk=128, slq_probes=8, mode="stream",
+            **kw)
         val_s, alpha, _ = nlml_iterative(it_gp, y, k1, **kw)
         grads_s = grad_iterative(it_gp, y, k2, alpha=alpha, chunk=128,
                                  **{k: v for k, v in kw.items()
@@ -237,6 +239,111 @@ class TestFusedValueAndGrad:
         np.testing.assert_allclose(np.asarray(grads_f[3]),
                                    np.asarray(grads_s[3]),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestMaterializedModes:
+    """MaterializedOperator + the chol/gemm operator modes."""
+
+    def test_materialized_matches_streamed_matmat(self):
+        from gp_ss_ak_tpu.ops.matvec import MaterializedOperator
+
+        model, X, y, it_gp = setup(n=300)
+        stream = MatvecOperator(it_gp.Xm, it_gp.sigma, it_gp.bias,
+                                it_gp.sn2, tm=128, tn=128)
+        mat = MaterializedOperator(it_gp.Xm, it_gp.sigma, it_gp.bias,
+                                   it_gp.sn2)
+        V = jnp.asarray(RNG.normal(size=(300, 5)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(mat.matmat(V)),
+                                   np.asarray(stream.matmat(V)),
+                                   rtol=2e-4, atol=2e-4)
+        v = V[:, 0]
+        np.testing.assert_allclose(np.asarray(mat(v)),
+                                   np.asarray(stream(v)),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_bf16_storage_is_fit_grade(self):
+        from gp_ss_ak_tpu.ops.matvec import MaterializedOperator
+
+        model, X, y, it_gp = setup(n=256)
+        f32 = MaterializedOperator(it_gp.Xm, it_gp.sigma, it_gp.bias,
+                                   it_gp.sn2)
+        b16 = MaterializedOperator(it_gp.Xm, it_gp.sigma, it_gp.bias,
+                                   it_gp.sn2, store_dtype=jnp.bfloat16)
+        v = jnp.asarray(RNG.normal(size=256), jnp.float32)
+        ref = np.asarray(f32(v))
+        got = np.asarray(b16(v))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 5e-3
+
+    def test_choose_mode_thresholds(self):
+        from gp_ss_ak_tpu.inference.iterative import (
+            CHOL_MATERIALIZE_MAX_N,
+            GEMM_MATERIALIZE_MAX_N_BF16,
+            GEMM_MATERIALIZE_MAX_N_F32,
+            choose_mode,
+        )
+
+        assert choose_mode(1024) == "chol"
+        assert choose_mode(CHOL_MATERIALIZE_MAX_N) == "chol"
+        assert choose_mode(CHOL_MATERIALIZE_MAX_N + 1) == "gemm"
+        assert choose_mode(GEMM_MATERIALIZE_MAX_N_F32 + 1) == "gemm_bf16"
+        assert choose_mode(GEMM_MATERIALIZE_MAX_N_BF16 + 1) == "stream"
+        assert choose_mode(100, "stream") == "stream"
+        with pytest.raises(ValueError):
+            choose_mode(100, "nope")
+
+    def test_chol_mode_nlml_exact_vs_dense(self):
+        from gp_ss_ak_tpu.inference.iterative import nlml_iterative
+
+        model, X, y, it_gp = setup(n=256)
+        val, alpha, iters = nlml_iterative(
+            it_gp, y, jax.random.PRNGKey(1), mode="chol")
+        dense = float(nlml(model.kernel, model.kernel_params,
+                           model.lik_hypers, X, y, model.likelihood))
+        # exact factorization: only f32 round-off separates the two
+        assert float(val) == pytest.approx(dense, rel=1e-4, abs=0.05)
+        assert int(iters) == 0
+        A = dense_A(model, X)
+        np.testing.assert_allclose(np.asarray(A @ alpha), np.asarray(y),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_gemm_mode_matches_stream_mode(self):
+        from gp_ss_ak_tpu.inference.iterative import (
+            nlml_and_grad_iterative,
+        )
+
+        model, X, y, it_gp = setup(n=256)
+        k1, k2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+        kw = dict(cg_tol=1e-6, cg_maxiter=2000, probes=8,
+                  lanczos_iters=24, precond_rank=48, tm=128, tn=128,
+                  chunk=128, slq_probes=8)
+        v_g, g_g, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
+                                              mode="gemm", **kw)
+        v_s, g_s, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
+                                              mode="stream", **kw)
+        assert float(v_g) == pytest.approx(float(v_s), rel=1e-4,
+                                           abs=0.05)
+        for gg, gs in zip(g_g[:3], g_s[:3]):
+            assert float(gg) == pytest.approx(float(gs), rel=1e-3,
+                                              abs=1e-2)
+
+    def test_chol_mode_value_and_grad_matches_dense(self):
+        from gp_ss_ak_tpu.optim.api import make_value_and_grad
+        from gp_ss_ak_tpu.optim.iterative_fit import (
+            make_iterative_value_and_grad,
+        )
+
+        model, X, y, _ = setup(n=256)
+        x0 = np.asarray(model.pack(), np.float64)
+        f_it, g_it = make_iterative_value_and_grad(
+            model, X, y, seed=3, probes=32, chunk=64,
+            mode="chol")(x0)
+        f_d, g_d = make_value_and_grad(model, X, y)(x0)
+        # the VALUE is exact in chol mode
+        assert f_it == pytest.approx(f_d, rel=1e-4, abs=0.05)
+        cos = float(np.dot(g_it, g_d)
+                    / (np.linalg.norm(g_it) * np.linalg.norm(g_d)))
+        assert cos > 0.9
 
 
 class TestSLQ:
