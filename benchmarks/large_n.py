@@ -31,10 +31,13 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 RESULTS = os.path.join(HERE, "results.json")
 
-SIZES = [16384, 32768, 65536, 131072]
+SIZES = [16384, 32768, 49152, 65536, 100000]
 CROSSCHECK_N = 8192
 FIT_N = 32768
-FIT_ITERS = 10
+FIT_ITERS = 30
+#: cheaper estimator settings for the streamed regime (N > ~73k,
+#: where every CG/Lanczos step is a full O(N^2) Pallas pass)
+STREAM_OPTS = dict(lanczos_iters=16, cg_tol=1e-3, slq_probes=32)
 
 
 def _problem(n, d=3, seed=0):
@@ -55,15 +58,18 @@ def _model(d=3):
 
 def eval_row(n, reps=5):
     """Median blocking-call time for one matrix-free NLML+grad at N."""
-    import jax.numpy as jnp
-
+    from gp_ss_ak_tpu.inference.iterative import choose_mode
     from gp_ss_ak_tpu.optim.iterative_fit import (
         make_iterative_value_and_grad,
     )
 
     X, y = _problem(n)
     model = _model()
-    vg = make_iterative_value_and_grad(model, X, y)
+    mode = choose_mode(n)
+    opts = dict(STREAM_OPTS) if mode == "stream" else {}
+    if mode == "stream":
+        reps = min(reps, 2)     # each eval is minutes of O(N^2) passes
+    vg = make_iterative_value_and_grad(model, X, y, **opts)
     flat = np.asarray(model.pack(), np.float64)
 
     t0 = time.perf_counter()
@@ -81,6 +87,8 @@ def eval_row(n, reps=5):
         times.append(time.perf_counter() - t0)
     return {
         "n": n,
+        "mode": mode,
+        "opts": opts,
         "nlml": float(v),
         "compile_s": round(compile_s, 2),
         "cg_iters": vg.last_cg_iters,
@@ -106,17 +114,23 @@ def crosscheck(n=CROSSCHECK_N):
     flat = np.asarray(model.pack(), np.float64)
 
     out = {"n": n}
+    # auto mode (chol at this N: exact factorization, deterministic)
     vg_it = make_iterative_value_and_grad(model, X, y)
     v_it, _ = vg_it(flat)
     out["nlml_iterative_f32"] = float(v_it)
+    out["mode"] = "chol"
 
-    # probe-to-probe spread of the stochastic logdet: re-evaluate with
-    # independent SLQ keys — the NLML estimator's honest error bar
-    seeds = [make_iterative_value_and_grad(model, X, y, seed=s)(flat)[0]
-             for s in range(1, 5)]
-    vals = np.asarray([float(v_it)] + [float(v) for v in seeds])
-    out["nlml_iterative_seed_std"] = float(np.std(vals))
-    out["nlml_iterative_seed_spread"] = [float(v) for v in vals]
+    # the streamed CG+SLQ ESTIMATOR at the same N, with its
+    # probe-to-probe spread over independent SLQ keys — the honest
+    # error bar of the stream-mode NLML used beyond N~73k
+    stream_vals = [
+        float(make_iterative_value_and_grad(model, X, y, seed=s,
+                                            mode="stream")(flat)[0])
+        for s in range(5)]
+    vals = np.asarray(stream_vals)
+    out["nlml_stream_f32"] = vals[0]
+    out["nlml_stream_seed_std"] = float(np.std(vals))
+    out["nlml_stream_seed_spread"] = stream_vals
 
     # f64 oracle (bench.cpu_nlml_grad — finite-difference-validated)
     spec = importlib.util.spec_from_file_location(
@@ -133,7 +147,8 @@ def crosscheck(n=CROSSCHECK_N):
     out["cpu_f64_oracle_s"] = round(time.perf_counter() - t0, 1)
     out["iterative_vs_f64_rel"] = abs(float(v_it) - nl64) / abs(nl64)
     out["iterative_vs_f64_nats_per_point"] = abs(float(v_it) - nl64) / n
-    out["iterative_mean_vs_f64_nats"] = abs(float(np.mean(vals)) - nl64)
+    out["stream_vs_f64_rel"] = abs(float(np.mean(vals)) - nl64) / abs(nl64)
+    out["stream_mean_vs_f64_nats"] = abs(float(np.mean(vals)) - nl64)
 
     # dense f32 on-chip (may be slow to compile at this N; guarded)
     try:
@@ -151,16 +166,19 @@ def crosscheck(n=CROSSCHECK_N):
     return out
 
 
-def fit_row(n=FIT_N, iters=FIT_ITERS):
+def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None):
+    from gp_ss_ak_tpu.inference.iterative import choose_mode
     from gp_ss_ak_tpu.optim import fit
 
     X, y = _problem(n)
     model = _model()
     t0 = time.perf_counter()
-    fitted, res = fit(model, X, y, engine="iterative", iters=iters)
+    fitted, res = fit(model, X, y, engine="iterative", iters=iters,
+                      engine_opts=engine_opts)
     wall = time.perf_counter() - t0
     return {
         "n": n,
+        "mode": (engine_opts or {}).get("mode", choose_mode(n)),
         "iters": int(res.n_iters),
         "evals": int(res.n_evals),
         "fit_wall_s": round(wall, 1),
@@ -206,6 +224,11 @@ def main():
             print(json.dumps(out["fit"]))
         except Exception as e:  # noqa: BLE001
             out["fit"] = {"error": str(e)[:300]}
+        try:
+            out["fit_65536"] = fit_row(n=65536, iters=15)
+            print(json.dumps(out["fit_65536"]))
+        except Exception as e:  # noqa: BLE001
+            out["fit_65536"] = {"error": str(e)[:300]}
 
     data = {}
     if os.path.exists(RESULTS):
@@ -219,7 +242,7 @@ def main():
         if "n" in r and "error" not in r:
             merged[r["n"]] = r
     out["rows"] = [merged[k] for k in sorted(merged)]
-    for key in ("crosscheck", "fit"):
+    for key in ("crosscheck", "fit", "fit_65536"):
         if key in prev and ("error" in out.get(key, {})
                             or key not in out):
             out[key] = prev[key]

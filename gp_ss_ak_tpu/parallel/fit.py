@@ -42,7 +42,7 @@ def fit_distributed(
     upper: Optional[np.ndarray] = None,
     verbose: int = 0,
     callback=None,
-    grad_mode: str = "exact",
+    grad_mode: str = "auto",
     probes: int = 32,
     fused: bool = None,
 ) -> Tuple[GPModel, OptResult]:

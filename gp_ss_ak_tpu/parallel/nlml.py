@@ -45,6 +45,14 @@ from gp_ss_ak_tpu.parallel.pchol import (
 
 _PREC = lax.Precision.HIGHEST
 
+#: grad_mode="auto" switchover: at or below this N the exact N-RHS
+#: Q = A^-1 gradient is used (its ~6x-the-Cholesky cost is still small
+#: in absolute terms and the gradient is exact); above it the
+#: Hutchinson probe estimator wins — the A/B at N=4096 on a v5e
+#: (benchmarks/dist_grad_ab.py, results.json "dist_grad_ab_n4096_tpu")
+#: measures the crossover region.
+EXACT_GRAD_MAX_N = 8192
+
 
 def _build_A_local(kernel, params, sn2, X_local, X_all, g, n_valid,
                    fused: bool = False):
@@ -102,7 +110,7 @@ def make_dist_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
                             n_devices: int = None, nb: int = 128,
                             axis: str = ROW_AXIS,
                             fused: bool = None,
-                            grad_mode: str = "exact",
+                            grad_mode: str = "auto",
                             probes: int = 32,
                             probe_seed: int = 0) -> Callable:
     """Returns jitted (flat_hypers, X_padded, y_padded) -> (nlml, grad).
@@ -120,10 +128,14 @@ def make_dist_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
 
     `grad_mode="hutchinson"` replaces the exact N-RHS Q = A^-1 build
     (~6x the Cholesky FLOPs per evaluation, VERDICT r1 #2) with a
-    `probes`-RHS stochastic trace estimator — see _make_nlml_body."""
+    `probes`-RHS stochastic trace estimator — see _make_nlml_body.
+    The default "auto" picks exact for n <= EXACT_GRAD_MAX_N and
+    hutchinson beyond, where the N-RHS solve dominates wall-clock."""
     from gp_ss_ak_tpu.ops.fused import _is_flagship
     from gp_ss_ak_tpu.ops.pairwise import _on_tpu
 
+    if grad_mode == "auto":
+        grad_mode = "exact" if n <= EXACT_GRAD_MAX_N else "hutchinson"
     if fused is None:
         fused = _on_tpu() and _is_flagship(kernel)
     elif fused and not _is_flagship(kernel):
