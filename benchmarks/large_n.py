@@ -193,6 +193,9 @@ def main():
                     help="16k + 32k only, no fit")
     ap.add_argument("--sizes", default=None,
                     help="comma-separated N list override")
+    ap.add_argument("--no-crosscheck", action="store_true")
+    ap.add_argument("--fit-only", action="store_true",
+                    help="skip eval rows and crosscheck; run the fits")
     args = ap.parse_args()
 
     import jax
@@ -202,23 +205,25 @@ def main():
              else (SIZES[:2] if args.quick else SIZES))
 
     out = {"backend": backend, "rows": [], "ts": time.strftime("%F %T")}
-    for n in sizes:
+    for n in ([] if args.fit_only else sizes):
         try:
             row = eval_row(n)
             print(json.dumps(row))
             out["rows"].append(row)
+            _merge_write(dict(out))   # survive a timeout mid-ladder
         except Exception as e:  # noqa: BLE001 - record partial progress
             out["rows"].append({"n": n, "error": str(e)[:300]})
             print(f"N={n} failed: {e}")
             break
 
-    try:
-        out["crosscheck"] = crosscheck()
-        print(json.dumps(out["crosscheck"]))
-    except Exception as e:  # noqa: BLE001
-        out["crosscheck"] = {"error": str(e)[:300]}
+    if not (args.no_crosscheck or args.fit_only):
+        try:
+            out["crosscheck"] = crosscheck()
+            print(json.dumps(out["crosscheck"]))
+        except Exception as e:  # noqa: BLE001
+            out["crosscheck"] = {"error": str(e)[:300]}
 
-    if not args.quick:
+    if args.fit_only or not args.quick:
         try:
             out["fit"] = fit_row()
             print(json.dumps(out["fit"]))
@@ -230,13 +235,20 @@ def main():
         except Exception as e:  # noqa: BLE001
             out["fit_65536"] = {"error": str(e)[:300]}
 
+    _merge_write(out)
+    print(f"wrote large_n -> {RESULTS}")
+
+
+def _merge_write(out):
+    """Merge this invocation's partial results into results.json:
+    eval rows keyed by n (latest wins); crosscheck/fit sections kept
+    from the previous record when this run skipped or failed them."""
+    out = dict(out)
     data = {}
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             data = json.load(f)
     prev = data.get("large_n", {})
-    # merge eval rows by n (latest wins); keep prior crosscheck/fit if
-    # this invocation skipped or failed them
     merged = {r["n"]: r for r in prev.get("rows", []) if "n" in r}
     for r in out["rows"]:
         if "n" in r and "error" not in r:
@@ -249,7 +261,6 @@ def main():
     data["large_n"] = out
     with open(RESULTS, "w") as f:
         json.dump(data, f, indent=1)
-    print(f"wrote large_n -> {RESULTS}")
 
 
 if __name__ == "__main__":

@@ -63,9 +63,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="initial likelihood noise variance sn2")
     tr.add_argument("--engine", default="auto",
                     choices=("auto", "dense", "iterative"),
-                    help="NLML engine: dense Cholesky, matrix-free "
-                         "CG+SLQ (large N; float32-only), or auto by "
-                         "data size")
+                    help="NLML engine: dense Cholesky, the large-N "
+                         "engine (float32-only; materializes A and "
+                         "factors it exactly up to N~32k, GEMM-backed "
+                         "CG+SLQ to ~73k, streamed Pallas tiles "
+                         "beyond), or auto by data size")
     tr.add_argument("--float64", action="store_true",
                     help="fit in float64 (CPU backends; ignored by "
                          "the iterative engine, which is float32-only)")
