@@ -35,6 +35,10 @@ SIZES = [16384, 32768, 49152, 65536, 100000]
 CROSSCHECK_N = 8192
 FIT_N = 32768
 FIT_ITERS = 30
+#: row schema version: rows carried over from results.json whose
+#: schema doesn't match are dropped by _merge_write (stale-row guard,
+#: VERDICT r2 weak #1/#8)
+SCHEMA = 3
 #: cheaper estimator settings for the streamed regime (N > ~73k,
 #: where every CG/Lanczos step is a full O(N^2) Pallas pass)
 STREAM_OPTS = dict(lanczos_iters=16, cg_tol=1e-3, slq_probes=32)
@@ -87,6 +91,7 @@ def eval_row(n, reps=5):
         times.append(time.perf_counter() - t0)
     return {
         "n": n,
+        "schema": SCHEMA,
         "mode": mode,
         "opts": opts,
         "nlml": float(v),
@@ -113,12 +118,14 @@ def crosscheck(n=CROSSCHECK_N):
     model = _model()
     flat = np.asarray(model.pack(), np.float64)
 
-    out = {"n": n}
-    # auto mode (chol at this N: exact factorization, deterministic)
+    from gp_ss_ak_tpu.inference.iterative import choose_mode
+
+    out = {"n": n, "schema": SCHEMA}
+    # auto mode (resolved, not hardcoded — ADVICE r2 large_n.py:121)
     vg_it = make_iterative_value_and_grad(model, X, y)
     v_it, _ = vg_it(flat)
     out["nlml_iterative_f32"] = float(v_it)
-    out["mode"] = "chol"
+    out["mode"] = choose_mode(n)
 
     # the streamed CG+SLQ ESTIMATOR at the same N, with its
     # probe-to-probe spread over independent SLQ keys — the honest
@@ -166,7 +173,29 @@ def crosscheck(n=CROSSCHECK_N):
     return out
 
 
-def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None):
+def _mse_quality(fitted, X, y, n_holdout=4096, seed=1):
+    """Train-subsample + holdout MSE of the fitted model's posterior
+    mean (the reference's train-command MSE report,
+    gp_ss_ak.cpp:304-325, at large N). Factorizes once via
+    serve.Predictor (dense chol — fine to N~32k f32)."""
+    from gp_ss_ak_tpu.serve import Predictor
+
+    Xh, yh = _problem(n_holdout, seed=seed + 100)
+    pred = Predictor(fitted, X, y, robust=True,
+                     precompute_inverse=False)
+    sub = np.random.default_rng(seed).choice(
+        X.shape[0], size=min(4096, X.shape[0]), replace=False)
+    mu_tr, _ = pred(X[sub], batch_size=4096)
+    mu_ho, _ = pred(Xh, batch_size=4096)
+    return {
+        "train_mse": float(np.mean((mu_tr - y[sub]) ** 2)),
+        "holdout_mse": float(np.mean((mu_ho - yh) ** 2)),
+        "var_y": float(np.var(y)),
+    }
+
+
+def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
+            with_quality=False):
     from gp_ss_ak_tpu.inference.iterative import choose_mode
     from gp_ss_ak_tpu.optim import fit
 
@@ -176,14 +205,54 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None):
     fitted, res = fit(model, X, y, engine="iterative", iters=iters,
                       engine_opts=engine_opts)
     wall = time.perf_counter() - t0
-    return {
+    row = {
         "n": n,
+        "schema": SCHEMA,
         "mode": (engine_opts or {}).get("mode", choose_mode(n)),
         "iters": int(res.n_iters),
         "evals": int(res.n_evals),
         "fit_wall_s": round(wall, 1),
         "nlml_start": float(res.trace[0]),
         "nlml_final": float(res.fun),
+    }
+    if with_quality:
+        try:
+            row.update(_mse_quality(fitted, X, y))
+        except Exception as e:  # noqa: BLE001
+            row["quality_error"] = str(e)[:200]
+    return row
+
+
+def sgpr_row(n=FIT_N, m=512, iters=60):
+    """SGPR at the same N — the equal-budget comparison point for the
+    exact-GP large-N fit (VERDICT r2 #8): a reader picks an engine by
+    holdout MSE per wall-clock second."""
+    from gp_ss_ak_tpu.inference import sgpr as sgpr_mod
+
+    X, y = _problem(n)
+    model = _model()
+    t0 = time.perf_counter()
+    fitted, Z, res = sgpr_mod.fit_sgpr(model, X, y, m=m, iters=iters)
+    wall = time.perf_counter() - t0
+    Xh, yh = _problem(4096, seed=101)
+    mu_ho, _ = sgpr_mod.predict(
+        fitted.kernel, fitted.kernel_params, fitted.lik_hypers,
+        X, y, Z, Xh)
+    sub = np.random.default_rng(1).choice(n, size=4096, replace=False)
+    mu_tr, _ = sgpr_mod.predict(
+        fitted.kernel, fitted.kernel_params, fitted.lik_hypers,
+        X, y, Z, X[sub])
+    return {
+        "n": n,
+        "schema": SCHEMA,
+        "m_inducing": m,
+        "iters": int(res.n_iters),
+        "fit_wall_s": round(wall, 1),
+        "neg_elbo_final": float(res.fun),
+        "train_mse": float(np.mean(
+            (np.asarray(mu_tr) - y[sub]) ** 2)),
+        "holdout_mse": float(np.mean((np.asarray(mu_ho) - yh) ** 2)),
+        "var_y": float(np.var(y)),
     }
 
 
@@ -224,40 +293,58 @@ def main():
             out["crosscheck"] = {"error": str(e)[:300]}
 
     if args.fit_only or not args.quick:
-        try:
-            out["fit"] = fit_row()
-            print(json.dumps(out["fit"]))
-        except Exception as e:  # noqa: BLE001
-            out["fit"] = {"error": str(e)[:300]}
-        try:
-            out["fit_65536"] = fit_row(n=65536, iters=15)
-            print(json.dumps(out["fit_65536"]))
-        except Exception as e:  # noqa: BLE001
-            out["fit_65536"] = {"error": str(e)[:300]}
+        stages = [
+            ("fit", lambda: fit_row(with_quality=True)),
+            ("fit_sgpr_32768", lambda: sgpr_row()),
+            ("fit_65536", lambda: fit_row(n=65536, iters=15)),
+        ]
+        for key, fn in stages:
+            try:
+                out[key] = fn()
+                print(json.dumps(out[key]))
+            except Exception as e:  # noqa: BLE001
+                out[key] = {"error": str(e)[:300]}
+            _merge_write(dict(out))
 
     _merge_write(out)
     print(f"wrote large_n -> {RESULTS}")
 
 
+_SECTIONS = ("crosscheck", "fit", "fit_sgpr_32768", "fit_65536")
+
+
 def _merge_write(out):
     """Merge this invocation's partial results into results.json:
-    eval rows keyed by n (latest wins); crosscheck/fit sections kept
-    from the previous record when this run skipped or failed them."""
+    eval rows keyed by n (latest successful wins; an error row is kept
+    only when no successful row exists for that n — ladder failures
+    stay visible, ADVICE r2 large_n.py:121); rows from previous runs
+    whose `schema` doesn't match the current SCHEMA are dropped
+    (stale-row guard); crosscheck/fit sections kept from the previous
+    record when this run skipped or failed them."""
     out = dict(out)
     data = {}
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             data = json.load(f)
     prev = data.get("large_n", {})
-    merged = {r["n"]: r for r in prev.get("rows", []) if "n" in r}
+    merged = {r["n"]: r for r in prev.get("rows", [])
+              if "n" in r and (r.get("schema") == SCHEMA
+                               or "error" in r)}
     for r in out["rows"]:
-        if "n" in r and "error" not in r:
+        if "n" not in r:
+            continue
+        if "error" not in r:
             merged[r["n"]] = r
+        elif "error" in merged.get(r["n"], {"error": True}):
+            merged[r["n"]] = r          # keep failure visible
     out["rows"] = [merged[k] for k in sorted(merged)]
-    for key in ("crosscheck", "fit", "fit_65536"):
+    for key in _SECTIONS:
         if key in prev and ("error" in out.get(key, {})
                             or key not in out):
-            out[key] = prev[key]
+            # prefer the previous record only if schema-current
+            if prev[key].get("schema") == SCHEMA or "error" in out.get(
+                    key, {"error": True}):
+                out.setdefault(key, prev[key])
     data["large_n"] = out
     with open(RESULTS, "w") as f:
         json.dump(data, f, indent=1)

@@ -168,6 +168,12 @@ class MaterializedOperator:
     entries), which bounds the achievable CG residual — fit-grade, not
     parity-grade. f32 storage uses HIGHEST-precision GEMMs (the matvec
     is bandwidth-bound, so the extra MXU passes are free).
+
+    The noise diagonal is NEVER quantized: only K = s^2 exp(-dist) +
+    bias is stored (in store_dtype); sn2 * v is added in f32 inside
+    matmat. Rounding the O(1) diagonal to bf16 (~0.4% relative) would
+    perturb the small default noise (sn2 ~ 0.016) by O(10%) and can
+    push a near-singular A off SPD (ADVICE r2, matvec.py:181).
     """
 
     def __init__(self, Xm, sigma, bias, sn2, store_dtype=jnp.float32,
@@ -176,9 +182,11 @@ class MaterializedOperator:
 
         Xm = jnp.asarray(Xm, jnp.float32)
         self.n = Xm.shape[0]
-        A = expans_bias_gram(Xm, sigma, bias, sn2, tm=tm, tn=tn,
+        # sn2=0: the stored matrix is K only; the exact noise diagonal
+        # is applied in f32 per matmat below
+        K = expans_bias_gram(Xm, sigma, bias, 0.0, tm=tm, tn=tn,
                              interpret=interpret)
-        self.A = A.astype(store_dtype)
+        self.A = K.astype(store_dtype)
         self.sigma = jnp.asarray(sigma, jnp.float32)
         self.bias = jnp.asarray(bias, jnp.float32)
         self.sn2 = jnp.asarray(sn2, jnp.float32)
@@ -191,9 +199,11 @@ class MaterializedOperator:
         return self.matmat(v[:, None])[:, 0]
 
     def matmat(self, V):
-        V = jnp.asarray(V).astype(self.A.dtype)
-        return jnp.matmul(self.A, V, precision=self._prec,
-                          preferred_element_type=jnp.float32)
+        V = jnp.asarray(V, jnp.float32)
+        KV = jnp.matmul(self.A, V.astype(self.A.dtype),
+                        precision=self._prec,
+                        preferred_element_type=jnp.float32)
+        return KV + self.sn2 * V
 
 
 class MatvecOperator:

@@ -112,10 +112,10 @@ def _fused_gram(Xi, Xj, scalars, with_diag: bool, tm: int,
                           scalars[0] + scalars[1] + scalars[2], k)
         return k.astype(Xi.dtype)
     if vma:
-        Xi = jax.lax.pvary(Xi, tuple(vma - jax.typeof(Xi).vma))
-        Xj = jax.lax.pvary(Xj, tuple(vma - jax.typeof(Xj).vma))
-        scalars = jax.lax.pvary(
-            scalars, tuple(vma - jax.typeof(scalars).vma))
+        from gp_ss_ak_tpu.utils.vma import pvary_to
+        Xi = pvary_to(Xi, vma - jax.typeof(Xi).vma)
+        Xj = pvary_to(Xj, vma - jax.typeof(Xj).vma)
+        scalars = pvary_to(scalars, vma - jax.typeof(scalars).vma)
     out_shape = (jax.ShapeDtypeStruct((n, m), Xi.dtype, vma=vma)
                  if vma else jax.ShapeDtypeStruct((n, m), Xi.dtype))
     return pl.pallas_call(

@@ -33,10 +33,16 @@ def initialize(coordinator_address: Optional[str] = None,
     addr = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if addr is None:
         return
+    # NOTE: `process_id or env[...]` would be wrong — process 0 is
+    # falsy and must not fall through to the env var
+    if num_processes is None:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None:
+        process_id = int(os.environ["PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes or int(os.environ["NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["PROCESS_ID"]),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 

@@ -37,6 +37,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gp_ss_ak_tpu.parallel.mesh import ROW_AXIS, pad_rows
+from gp_ss_ak_tpu.utils.vma import pvary_to, vma_of
 from gp_ss_ak_tpu.parallel.pchol import (
     block_cholesky_local,
     solve_chol_local,
@@ -84,13 +85,10 @@ def _build_A_local(kernel, params, sn2, X_local, X_all, g, n_valid,
         # cotangent contribution back onto the replicated params —
         # custom_vjp itself would not insert it (same pattern as
         # ops/pairwise.py's pallas vma plumbing)
-        try:
-            vma = jax.typeof(Xm_local).vma
-        except Exception:
-            vma = frozenset()
+        vma = vma_of(Xm_local)
         if vma:
             def _match(v):
-                return lax.pvary(v, tuple(vma - jax.typeof(v).vma))
+                return pvary_to(v, vma - vma_of(v))
 
             Xm_all_v = _match(Xm_all)
             sigma, bias = _match(sigma), _match(bias)
@@ -253,9 +251,8 @@ def _make_nlml_body(kernel, n, P_sz, nb, axis, fused,
             rows_valid = (jnp.arange(N) < n)[:, None]
             Z_all = jnp.where(rows_valid, Z_all, 0.0)
             Z_local = lax.dynamic_slice_in_dim(Z_all, g[0], n_local, 0)
-            Z_local = jax.lax.pvary(
-                Z_local, tuple(jax.typeof(L_local).vma
-                               - jax.typeof(Z_local).vma))
+            Z_local = pvary_to(Z_local,
+                               vma_of(L_local) - vma_of(Z_local))
             U_local = solve_chol_local(L_local, Z_local, nb, axis)
             U_local = lax.stop_gradient(U_local)
             Z_all = lax.stop_gradient(Z_all)
@@ -293,13 +290,21 @@ def make_two_level_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
                                  nb: int = 128,
                                  chain_axis: str = "chains",
                                  row_axis: str = ROW_AXIS,
-                                 fused: bool = None) -> Callable:
+                                 fused: bool = None,
+                                 grad_mode: str = "auto",
+                                 probes: int = 32,
+                                 probe_seed: int = 0) -> Callable:
     """Two-level parallelism over a (chains, dp) mesh
     (parallel/multihost.two_level_mesh): each CHAIN (HMC chain /
     ensemble member / restart) owns an independent hyper vector and a
     full copy of the data; within a chain the kernel matrix and block
     Cholesky are row-sharded over `row_axis` (ICI), while `chain_axis`
     (DCN across hosts) carries no per-step collectives at all.
+
+    `likelihood` and `grad_mode` follow make_dist_nlml_and_grad exactly:
+    WarpedGaussian chains get the warped objective (warp + Jacobian +
+    exp(2 theta) noise, GP_Utils.cpp:417-430) and "auto" switches to the
+    Hutchinson gradient above EXACT_GRAD_MAX_N rows.
 
     Returns jitted (flats (C, p), X_pad, y_pad) -> (values (C,),
     grads (C, p)); X/y are sharded on rows and replicated across
@@ -308,13 +313,17 @@ def make_two_level_nlml_and_grad(kernel, likelihood, mesh: Mesh, n: int,
     from gp_ss_ak_tpu.ops.fused import _is_flagship
     from gp_ss_ak_tpu.ops.pairwise import _on_tpu
 
+    if grad_mode == "auto":
+        grad_mode = "exact" if n <= EXACT_GRAD_MAX_N else "hutchinson"
     if fused is None:
         fused = _on_tpu() and _is_flagship(kernel)
     ci = mesh.axis_names.index(chain_axis)
     ri = mesh.axis_names.index(row_axis)
     P_sz = mesh.devices.shape[ri]
     n_chains = mesh.devices.shape[ci]
-    body = _make_nlml_body(kernel, n, P_sz, nb, row_axis, fused)
+    body = _make_nlml_body(kernel, n, P_sz, nb, row_axis, fused,
+                           grad_mode=grad_mode, probes=probes,
+                           probe_seed=probe_seed, likelihood=likelihood)
 
     def chain_body(flats_local, X_local, y_local):
         # flats_local: (1, p) — this device's chain; X/y: row shard

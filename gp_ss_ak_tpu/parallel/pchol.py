@@ -34,17 +34,7 @@ from jax import lax
 from gp_ss_ak_tpu.parallel.mesh import ROW_AXIS
 
 
-def _pvary_like(x, ref):
-    """Promote x's varying-manual-axes set to include ref's: on a
-    multi-axis mesh (e.g. chains x dp) the RHS carry of the
-    substitution loops starts varying only on the row axis while L
-    also varies on the chain axis — the fori_loop carry types must
-    match from iteration 0."""
-    try:
-        need = jax.typeof(ref).vma - jax.typeof(x).vma
-    except Exception:
-        return x
-    return lax.pvary(x, tuple(need)) if need else x
+from gp_ss_ak_tpu.utils.vma import pvary_like as _pvary_like
 
 _PREC = lax.Precision.HIGHEST
 
