@@ -7,7 +7,7 @@ from gp_ss_ak_tpu.parallel.mesh import (
     replicated,
     row_sharding,
 )
-from gp_ss_ak_tpu.parallel.fit import fit_distributed
+from gp_ss_ak_tpu.parallel.fit import fit_distributed, fit_ring
 from gp_ss_ak_tpu.parallel.nlml import (
     make_dist_nlml_and_grad,
     make_two_level_nlml_and_grad,
@@ -17,6 +17,7 @@ from gp_ss_ak_tpu.parallel.nlml import (
 from gp_ss_ak_tpu.parallel.ring import (
     make_ring_cg_solve,
     make_ring_matvec,
+    make_ring_nlml_and_grad,
     make_ring_posterior_mean,
 )
 from gp_ss_ak_tpu.parallel.pchol import (
@@ -33,7 +34,9 @@ __all__ = [
     "row_sharding",
     "replicated",
     "fit_distributed",
+    "fit_ring",
     "make_dist_nlml_and_grad",
+    "make_ring_nlml_and_grad",
     "make_two_level_nlml_and_grad",
     "make_dist_predict",
     "make_ring_matvec",

@@ -63,12 +63,28 @@ def _mapped_local(kernel, params, X_local, n, axis):
     return Xm, g, valid[:, 0]
 
 
-def _tile(Xm_rows, Xm_cols, sigma, bias):
+def _tile(Xm_rows, Xm_cols, sigma, bias, gr=None, gc=None, mask=None):
+    """One (rows, cols) kernel tile. When the global ids gr/gc are
+    given, diagonal entries are computed as exactly sigma^2 + bias
+    WITHOUT touching sqrt(0) — d sqrt(d2)/d d2 is infinite at d2 = 0,
+    so differentiating the tile build (the ring gradient surrogate)
+    would NaN the metric parameters otherwise (the same 0/0 dodge as
+    the reference, Kernel.cpp:670-672, and ops/matvec's exact
+    diagonal). `mask` (True = keep) must ALSO be applied before the
+    sqrt: padding rows all map to one point, so masked-out entries can
+    sit exactly at d2 = 0 off-diagonal, and a post-hoc zeroing would
+    still propagate 0 * inf = NaN through the cotangent."""
     d2 = (jnp.sum(Xm_rows * Xm_rows, axis=1)[:, None]
           + jnp.sum(Xm_cols * Xm_cols, axis=1)[None, :]
           - 2.0 * jnp.matmul(Xm_rows, Xm_cols.T, precision=_PREC))
     d2 = jnp.maximum(d2, 0.0)
-    return sigma * sigma * jnp.exp(-jnp.sqrt(d2)) + bias
+    if gr is None:
+        return sigma * sigma * jnp.exp(-jnp.sqrt(d2)) + bias
+    on_diag = gr[:, None] == gc[None, :]
+    safe = on_diag if mask is None else (on_diag | ~mask)
+    r = jnp.sqrt(jnp.where(safe, 1.0, d2))
+    k = sigma * sigma * jnp.where(on_diag, 1.0, jnp.exp(-r)) + bias
+    return k if mask is None else jnp.where(mask, k, 0.0)
 
 
 def make_ring_matvec(kernel, mesh: Mesh, n: int, n_devices: int = None,
@@ -195,6 +211,317 @@ def make_ring_cg_solve(kernel, mesh: Mesh, n: int, n_devices: int = None,
         body, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(axis), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def _ring_matmat_fn(Xm, row_valid, g, n, sigma, bias, sn2, P_sz, axis):
+    """Blocked ring matmat closure: (n_local, B) -> (A V)_local with
+    all B columns riding one rotation of the ring (the per-step tile
+    build dominates, exactly like the single-chip op.matmat)."""
+    n_local = Xm.shape[0]
+    p = lax.axis_index(axis)
+    perm = _ring_perm(P_sz)
+
+    def matmat(V_local):
+        Vz = jnp.where(row_valid[:, None], V_local, 0.0)
+
+        def step(carry, _):
+            Xb, Vb, src, Q = carry
+            gc = src * n_local + jnp.arange(n_local)
+            Kt = _tile(Xm, Xb, sigma, bias, gr=g, gc=gc,
+                       mask=row_valid[:, None] & (gc < n)[None, :])
+            Q = Q + jnp.matmul(Kt, Vb, precision=_PREC)
+            Xb = lax.ppermute(Xb, axis, perm)
+            Vb = lax.ppermute(Vb, axis, perm)
+            src = lax.ppermute(src, axis, perm)
+            return (Xb, Vb, src, Q), None
+
+        (_, _, _, Q), _ = lax.scan(
+            step, (Xm, Vz, p, jnp.zeros_like(Vz)), None, length=P_sz)
+        return jnp.where(row_valid[:, None], Q + sn2 * V_local, V_local)
+
+    return matmat
+
+
+def _ring_pivoted_chol(Xm, row_valid, g, sigma, bias, rank, n_pad,
+                       axis):
+    """Distributed pivoted Cholesky of K (no noise): rank greedy
+    max-diagonal steps, each ONE psum'd argmax + ONE O(n_local d)
+    kernel-column build — L comes back ROW-SHARDED (n_local, rank).
+    The column build shards trivially (each device computes its own
+    segment against the broadcast pivot point), which is why the BBMM
+    preconditioner scales to the ring regime (VERDICT r2 #4)."""
+    from gp_ss_ak_tpu.utils.vma import pvary_like
+
+    s2 = sigma * sigma
+    n_local = Xm.shape[0]
+    d0 = jnp.where(row_valid, s2 + bias, jnp.zeros_like(row_valid,
+                                                        Xm.dtype))
+    # the carry becomes device-varying after step 0 (l depends on the
+    # local Xm); the initial zeros must match from iteration 0
+    L0 = pvary_like(jnp.zeros((n_local, rank), Xm.dtype), Xm)
+    d0 = pvary_like(d0, Xm)
+
+    def body(j, carry):
+        L, dvec = carry
+        local_max = jnp.max(dvec)
+        gmax = lax.pmax(local_max, axis)
+        # owner = the attaining device with the smallest global row id
+        cand = jnp.where(local_max >= gmax,
+                         g[jnp.argmax(dvec)], n_pad)
+        gidx = lax.pmin(cand, axis)
+        owner_row = (g == gidx)
+        xi = lax.psum(jnp.sum(
+            jnp.where(owner_row[:, None], Xm, 0.0), axis=0), axis)
+        Li = lax.psum(jnp.sum(
+            jnp.where(owner_row[:, None], L, 0.0), axis=0), axis)
+        dist = jnp.sqrt(jnp.maximum(
+            jnp.sum((Xm - xi[None, :]) ** 2, axis=1), 0.0))
+        c = s2 * jnp.exp(-dist) + bias
+        c = jnp.where(owner_row, s2 + bias, c)       # exact diagonal
+        l = (c - jnp.matmul(L, Li, precision=_PREC)) \
+            / jnp.sqrt(jnp.maximum(gmax, 1e-30))
+        l = jnp.where((gmax > 1e-30) & row_valid, l, 0.0)
+        L = L.at[:, j].set(l)
+        dvec = jnp.maximum(dvec - l * l, 0.0)
+        dvec = jnp.where(owner_row, 0.0, dvec)
+        return L, dvec
+
+    L, _ = lax.fori_loop(0, rank, body, (L0, d0))
+    return L
+
+
+def _ring_precond(L_local, sn2, n_true, axis):
+    """Distributed Woodbury P^-1, exact P^(-1/2), and logdet P for
+    P = L L^T + sn2 I over the VALID n_true-dimensional subspace —
+    the k x k core (L^T L) is one psum, everything else local GEMMs
+    (inference/iterative.precond_sqrt, row-sharded)."""
+    k = L_local.shape[1]
+    LtL = lax.psum(jnp.matmul(L_local.T, L_local, precision=_PREC),
+                   axis)
+    S, U = jnp.linalg.eigh(LtL)
+    S = jnp.maximum(S, 0.0)
+    mask = S > 1e-10
+    Q_local = jnp.matmul(
+        L_local, U / jnp.sqrt(jnp.maximum(S, 1e-30))[None, :],
+        precision=_PREC) * mask[None, :].astype(L_local.dtype)
+    inv_sqrt_eig = jnp.where(mask, 1.0 / jnp.sqrt(S + sn2), 0.0)
+    rsn = 1.0 / jnp.sqrt(sn2)
+    logdet_P = (n_true - jnp.sum(mask)) * jnp.log(sn2) \
+        + jnp.sum(jnp.where(mask, jnp.log(S + sn2), 0.0))
+
+    M = sn2 * jnp.eye(k, dtype=L_local.dtype) + LtL
+    cho = jax.scipy.linalg.cho_factor(M, lower=True)
+
+    def pinv(V_local):
+        LtV = lax.psum(jnp.matmul(L_local.T, V_local, precision=_PREC),
+                       axis)
+        W = jax.scipy.linalg.cho_solve(cho, LtV)
+        return (V_local - jnp.matmul(L_local, W,
+                                     precision=_PREC)) / sn2
+
+    def inv_sqrt(V_local):
+        QtV = lax.psum(jnp.matmul(Q_local.T, V_local, precision=_PREC),
+                       axis)
+        return (V_local - jnp.matmul(Q_local, QtV,
+                                     precision=_PREC)) * rsn \
+            + jnp.matmul(Q_local, inv_sqrt_eig[:, None] * QtV,
+                         precision=_PREC)
+
+    return pinv, inv_sqrt, logdet_P
+
+
+def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis):
+    """Batched PCG with psum'd inner products and the same
+    best-iterate / non-finite hardening as inference.iterative
+    .bcg_solve (frozen columns never poison the result)."""
+    def psum_cols(M):
+        return lax.psum(jnp.sum(M, axis=0), axis)
+
+    X = jnp.zeros_like(B_local)
+    R = B_local
+    Z = pinv(R) if pinv is not None else R
+    Pv = Z
+    rz = psum_cols(R * Z)
+    rn0 = psum_cols(B_local * B_local)
+    thresh = (tol ** 2) * rn0
+
+    def _active(R):
+        rn = psum_cols(R * R)
+        return (rn > thresh) & jnp.isfinite(rn)
+
+    def cond(state):
+        _X, R, _Z, _P, _rz, it, _Xb, _rb = state
+        return jnp.any(_active(R)) & (it < maxiter)
+
+    def body(state):
+        X, R, Z, Pv, rz, it, Xbest, rn_best = state
+        active = _active(R)
+        AP = matmat(Pv)
+        pAp = psum_cols(Pv * AP)
+        ok = active & (pAp > 0) & jnp.isfinite(pAp) & jnp.isfinite(rz)
+        a = jnp.where(ok, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        X = X + a[None, :] * Pv
+        R = R - a[None, :] * AP
+        rn = psum_cols(R * R)
+        better = jnp.isfinite(rn) & (rn < rn_best)
+        Xbest = jnp.where(better[None, :], X, Xbest)
+        rn_best = jnp.where(better, rn, rn_best)
+        Z = pinv(R) if pinv is not None else R
+        rz_new = psum_cols(R * Z)
+        beta = jnp.where(ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        Pv = Z + beta[None, :] * Pv
+        return X, R, Z, Pv, rz_new, it + 1, Xbest, rn_best
+
+    state = (X, R, Z, Pv, rz, jnp.asarray(0), X, rn0)
+    _X, _R, _Z, _P, _rz, it, Xbest, _rb = lax.while_loop(
+        cond, body, state)
+    return Xbest, it
+
+
+def _ring_slq_logdet(matmat, inv_sqrt, logdet_P, Z_local, n_true,
+                     k_steps, axis):
+    """Preconditioned SLQ with a DISTRIBUTED batched Lanczos: every
+    reduction is a psum, every step one ring matmat shared by all
+    probes; the quadrature on the replicated tridiagonals is local."""
+    def whitened(V):
+        return inv_sqrt(matmat(inv_sqrt(V)))
+
+    b = Z_local.shape[1]
+    norms = jnp.sqrt(lax.psum(jnp.sum(Z_local * Z_local, axis=0), axis))
+    V = Z_local / norms[None, :]
+
+    def body(carry, _):
+        V_prev, V_cur, beta_prev = carry
+        W = whitened(V_cur) - beta_prev[None, :] * V_prev
+        alpha = lax.psum(jnp.sum(W * V_cur, axis=0), axis)
+        W = W - alpha[None, :] * V_cur
+        beta = jnp.sqrt(lax.psum(jnp.sum(W * W, axis=0), axis))
+        V_next = jnp.where(beta[None, :] > 1e-10,
+                           W / jnp.where(beta > 0, beta, 1.0)[None, :],
+                           jnp.zeros_like(W))
+        return (V_cur, V_next, beta), (alpha, beta)
+
+    init = (jnp.zeros_like(V), V, jnp.zeros((b,), V.dtype))
+    _, (alphas, betas) = lax.scan(body, init, None, length=k_steps)
+    betas = betas[:-1]
+
+    def quad(a_col, b_col):
+        T = (jnp.diag(a_col) + jnp.diag(b_col, 1) + jnp.diag(b_col, -1))
+        w, Vq = jnp.linalg.eigh(T)
+        w = jnp.maximum(w, 1e-12)
+        return jnp.asarray(float(n_true), Z_local.dtype) * jnp.sum(
+            (Vq[0, :] ** 2) * jnp.log(w))
+
+    resid = jnp.mean(jax.vmap(quad, in_axes=(1, 1))(alphas, betas))
+    return logdet_P + resid
+
+
+def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
+                            n_devices: int = None, axis: str = ROW_AXIS,
+                            precond_rank: int = 64, probes: int = 8,
+                            slq_probes: int = 16,
+                            lanczos_iters: int = 32,
+                            cg_tol: float = 1e-4, cg_maxiter: int = 400,
+                            probe_seed: int = 0) -> Callable:
+    """Ring-distributed matrix-free NLML + gradient — the training
+    route past the row-panel wall (VERDICT r2 #4): nothing larger than
+    an (n_local, n_local) tile or an (n_local, probes) block ever
+    exists on any device, so N is bounded by ICI bandwidth and wall
+    clock, not by panel memory (parallel/nlml.py dies at N ~ 10^5 P).
+
+    Per evaluation (the BBMM estimator, distributed):
+      alpha + Hutchinson probe solves : ONE ring batched PCG on
+          [y | Z] with a ring-built pivoted-Cholesky Woodbury
+          preconditioner (rank `precond_rank`),
+      logdet : exact logdet P + SLQ on the whitened residual operator
+          via a psum'd batched Lanczos (`slq_probes` x
+          `lanczos_iters`),
+      gradient : d/dtheta [ mean_z w' A(theta) z / 2 - alpha' A alpha
+          / 2 ] differentiated THROUGH the ring tile build (lax.scan
+          of ppermute steps — reverse-mode transposes each rotation).
+
+    Probe keys are FIXED, so optimizers see a deterministic
+    self-consistent objective (same contract as optim/iterative_fit).
+    Flagship Sum([ExpAns, Bias]) + Gaussian only. Returns jitted
+    (flat, X_pad, y_pad) -> (value, grad)."""
+    from gp_ss_ak_tpu.ops.fused import _is_flagship
+
+    if not _is_flagship(kernel):
+        raise ValueError("ring NLML supports the flagship kernel only")
+    P_sz = n_devices or len(mesh.devices)
+    nk = kernel.n_params
+
+    def body(flat, X_local, y_local):
+        n_local = X_local.shape[0]
+        n_pad = n_local * P_sz
+        params = kernel.unpack(flat[:nk])
+        ep, bp = params
+        sigma, bias, sn2 = ep["Sigma"], bp["Sigma"], flat[nk]
+        Xm, g, row_valid = _mapped_local(kernel, params, X_local, n,
+                                         axis)
+        matmat = _ring_matmat_fn(Xm, row_valid, g, n, sigma, bias, sn2,
+                                 P_sz, axis)
+        L_local = _ring_pivoted_chol(Xm, row_valid, g, sigma, bias,
+                                     precond_rank, n_pad, axis)
+        pinv, inv_sqrt, logdet_P = _ring_precond(L_local, sn2, n, axis)
+
+        # probes: replicated global draw, zeroed on padding, local slice
+        dt = X_local.dtype
+        key_tr, key_ld = jax.random.split(jax.random.PRNGKey(probe_seed))
+        p = lax.axis_index(axis)
+        Z_all = jax.random.rademacher(
+            key_tr, (n_pad, probes), dt)
+        Z_local = lax.dynamic_slice_in_dim(Z_all, p * n_local,
+                                           n_local, 0)
+        Z_local = jnp.where(row_valid[:, None], Z_local, 0.0)
+        yz = jnp.where(row_valid, y_local, 0.0)
+        rhs = jnp.concatenate([yz[:, None], Z_local], axis=1)
+        sols, _it = _ring_bcg(matmat, rhs, pinv, cg_tol, cg_maxiter,
+                              axis)
+        alpha, ws = sols[:, 0], sols[:, 1:]
+
+        Zl_all = jax.random.rademacher(key_ld, (n_pad, slq_probes), dt)
+        Zl_local = lax.dynamic_slice_in_dim(Zl_all, p * n_local,
+                                            n_local, 0)
+        Zl_local = jnp.where(row_valid[:, None], Zl_local, 0.0)
+        logdet = _ring_slq_logdet(matmat, inv_sqrt, logdet_P, Zl_local,
+                                  n, lanczos_iters, axis)
+        fit = 0.5 * lax.psum(jnp.dot(yz, alpha, precision=_PREC), axis)
+        value = fit + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi)
+
+        # --- gradient: contraction through the differentiable ring ---
+        coef = jnp.concatenate([
+            jnp.full((probes,), 1.0 / probes, dt),
+            jnp.full((1,), -1.0, dt)])
+        U = lax.stop_gradient(
+            jnp.concatenate([ws, alpha[:, None]], axis=1)) \
+            * coef[None, :]
+        V = lax.stop_gradient(
+            jnp.concatenate([Z_local, alpha[:, None]], axis=1))
+
+        def surrogate(flat_):
+            params_ = kernel.unpack(flat_[:nk])
+            ep_, bp_ = params_
+            sig_, b_, sn2_ = ep_["Sigma"], bp_["Sigma"], flat_[nk]
+            Xm_, _, _ = _mapped_local(kernel, params_, X_local, n, axis)
+            mm = _ring_matmat_fn(Xm_, row_valid, g, n, sig_, b_, sn2_,
+                                 P_sz, axis)
+            AV = mm(V)
+            AV = jnp.where(row_valid[:, None], AV, 0.0)
+            return 0.5 * jnp.sum(U * AV)
+
+        # the cross-device reduction of the replicated input's
+        # cotangent is inserted by shard_map (same note as
+        # parallel/nlml.py)
+        grad = jax.grad(surrogate)(flat)
+        return value, grad
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
     )
     return jax.jit(mapped)
 
