@@ -26,8 +26,11 @@ per hyperparameter setting instead:
             Hutchinson probe solves; no CG, no SLQ bias.
   gemm      (N <= ~49k) A in f32; PCG + SLQ matvecs become GEMMs at
             the HBM-bandwidth floor.
-  gemm_bf16 (N <= ~73k) A in bf16 (matvec ~1e-3 relative; fit-grade).
-  stream    beyond — the original tile-streaming path.
+  stream    beyond — the original tile-streaming path (accurate).
+  gemm_bf16 opt-in only (never auto): A in bf16 — solves are
+            residual-corrected and usable, but the quantization noise
+            dwarfs the flagship sn2 and biases the SLQ logdet; see
+            choose_mode.
 """
 
 from __future__ import annotations
@@ -442,23 +445,28 @@ def choose_mode(n: int, mode: str = "auto") -> str:
                   exact alpha/logdet, Hutchinson gradient with EXACT
                   probe solves (no CG, no SLQ bias).
       gemm      — materialize A in f32; PCG + SLQ run as GEMMs.
-      gemm_bf16 — materialize A in bfloat16 (documented ~1e-3 matvec
-                  accuracy; fit-grade).
+      gemm_bf16 — OPT-IN ONLY (never picked by auto): A in bfloat16.
+                  The ~0.4% entrywise quantization of K has spectral
+                  norm ~ 0.002 sqrt(N) — at the flagship noise
+                  (sn2 = 0.016) that swamps the smallest eigenvalues
+                  of A beyond N ~ 10^3, pushing A_bf16 indefinite and
+                  biasing the SLQ logdet by O(100s of nats) (measured
+                  -656 vs -330 exact at N = 4096 on a v5e). CG solves
+                  remain residual-corrected and fit-grade; the VALUE
+                  is not trustworthy. Use for gradient-only work.
       stream    — never materialize: Pallas streamed Gram tiles per
-                  matvec (the only option beyond ~73k on one chip).
+                  matvec (the accurate option beyond ~49k on one chip).
     """
     if mode != "auto":
         valid = ("chol", "gemm", "gemm_bf16", "stream")
         if mode not in valid:
             raise ValueError(f"mode must be one of {valid} or 'auto'")
         return mode
-    chol_max, gemm_max, bf16_max = _mode_thresholds()
+    chol_max, gemm_max, _bf16_max = _mode_thresholds()
     if n <= chol_max:
         return "chol"
     if n <= gemm_max:
         return "gemm"
-    if n <= bf16_max:
-        return "gemm_bf16"
     return "stream"
 
 

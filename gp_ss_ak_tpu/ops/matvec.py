@@ -165,9 +165,13 @@ class MaterializedOperator:
 
     store_dtype=bfloat16 halves the footprint; the matvec result is
     then accurate to ~1e-3 relative (f32 accumulation over bf16
-    entries), which bounds the achievable CG residual — fit-grade, not
-    parity-grade. f32 storage uses HIGHEST-precision GEMMs (the matvec
-    is bandwidth-bound, so the extra MXU passes are free).
+    entries), which bounds the achievable CG residual. CAUTION: the
+    quantization noise has spectral norm ~ 0.002 sqrt(N) — larger than
+    the flagship sn2 = 0.016 beyond N ~ 10^3 — so A_bf16 can be
+    indefinite and logdet estimates over it are biased
+    (inference.iterative.choose_mode never auto-picks it). f32 storage
+    uses HIGHEST-precision GEMMs (the matvec is bandwidth-bound, so
+    the extra MXU passes are free).
 
     The noise diagonal is NEVER quantized: only K = s^2 exp(-dist) +
     bias is stored (in store_dtype); sn2 * v is added in f32 inside

@@ -289,9 +289,12 @@ class TestMaterializedModes:
         assert choose_mode(1024) == "chol"
         assert choose_mode(CHOL_MATERIALIZE_MAX_N) == "chol"
         assert choose_mode(CHOL_MATERIALIZE_MAX_N + 1) == "gemm"
-        assert choose_mode(GEMM_MATERIALIZE_MAX_N_F32 + 1) == "gemm_bf16"
+        # bf16 is opt-in only: its quantized logdet is biased at the
+        # flagship noise level, so auto skips straight to stream
+        assert choose_mode(GEMM_MATERIALIZE_MAX_N_F32 + 1) == "stream"
         assert choose_mode(GEMM_MATERIALIZE_MAX_N_BF16 + 1) == "stream"
         assert choose_mode(100, "stream") == "stream"
+        assert choose_mode(100, "gemm_bf16") == "gemm_bf16"
         with pytest.raises(ValueError):
             choose_mode(100, "nope")
 
