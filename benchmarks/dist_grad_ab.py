@@ -65,18 +65,24 @@ def main():
         t0 = time.perf_counter()
         v, g = jax.block_until_ready(f(flat, Xs, ys))
         compile_s = time.perf_counter() - t0
-        times = []
-        for r in range(args.reps):
-            fl = flat * (1.0 + 1e-4 * (r + 1))
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(fl, Xs, ys))
-            times.append(time.perf_counter() - t0)
+
+        # chain-timed: reps serially-dependent evals in ONE device
+        # program with null-dispatch subtraction — per-call wall
+        # timing over the tunnel transport is elision-prone (observed
+        # sub-ms "timings" for full N-RHS solves)
+        from gp_ss_ak_tpu.utils import chain_timeit
+
+        def step(fl, s):
+            v_, g_ = f(fl * (1.0 + s * 1e-12), Xs, ys)
+            return v_ * jnp.float32(1e-6) \
+                + jnp.sum(g_) * jnp.float32(1e-9)
+
+        dt = chain_timeit(step, flat, reps=args.reps)
         grads[key] = np.asarray(g, np.float64)
         out[key] = {
             "nlml": float(v),
             "compile_s": round(compile_s, 2),
-            "eval_ms_median": round(1e3 * float(np.median(times)), 2),
-            "eval_ms_all": [round(1e3 * t, 2) for t in times],
+            "eval_ms_chain": round(1e3 * dt, 2),
         }
         print(key, json.dumps(out[key]))
 
@@ -90,7 +96,7 @@ def main():
         out[key]["grad_rel_err_vs_exact"] = round(
             float(np.linalg.norm(g - ge) / np.linalg.norm(ge)), 5)
         out[key]["speedup_vs_exact"] = round(
-            out["exact"]["eval_ms_median"] / out[key]["eval_ms_median"],
+            out["exact"]["eval_ms_chain"] / out[key]["eval_ms_chain"],
             2)
         print(key, "cos", out[key]["grad_cos_vs_exact"], "relerr",
               out[key]["grad_rel_err_vs_exact"], "speedup",

@@ -238,7 +238,8 @@ def sgpr_row(n=FIT_N, m=512, iters=60):
     mu_ho, _ = sgpr_mod.predict(
         fitted.kernel, fitted.kernel_params, fitted.lik_hypers,
         X, y, Z, Xh)
-    sub = np.random.default_rng(1).choice(n, size=4096, replace=False)
+    sub = np.random.default_rng(1).choice(n, size=min(4096, n),
+                                          replace=False)
     mu_tr, _ = sgpr_mod.predict(
         fitted.kernel, fitted.kernel_params, fitted.lik_hypers,
         X, y, Z, X[sub])

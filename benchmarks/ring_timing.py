@@ -1,0 +1,111 @@
+"""Ring-distributed NLML+grad: honest timing on the real chip
+(VERDICT r2 #4 'done' criterion).
+
+Runs make_ring_nlml_and_grad on a 1-device mesh (the same shard_map
+program a pod executes per device; with P=1 the ppermute rotations are
+self-sends, so this measures the per-device COMPUTE of the ring
+schedule — tile builds, batched PCG, distributed-form pivoted Cholesky
+and SLQ — without ICI transfer, which comm_volume.py accounts
+separately). Chain-timed (serialized dependent evals, null-dispatch
+subtracted).
+
+Writes results.json["ring_nlml_tpu"].
+
+Usage (TPU host): python benchmarks/ring_timing.py [--sizes 8192,16384]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RESULTS = os.path.join(HERE, "results.json")
+
+
+def run_one(n: int, reps: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from gp_ss_ak_tpu.model import default_model
+    from gp_ss_ak_tpu.parallel import (
+        make_mesh,
+        make_ring_nlml_and_grad,
+        shard_training_data,
+    )
+    from gp_ss_ak_tpu.utils import chain_timeit
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    y = (np.sin(X @ np.array([3.0, 1.0, 2.0], np.float32))
+         + 0.1 * rng.standard_normal(n).astype(np.float32))
+    model = default_model(3, dtype=jnp.float32)
+    mesh = make_mesh(1)
+    Xs, ys, n_true, _ = shard_training_data(mesh, X, y, nb=256)
+    f = make_ring_nlml_and_grad(model.kernel, mesh, n=n_true,
+                                precond_rank=64, probes=8,
+                                slq_probes=16, lanczos_iters=32,
+                                cg_tol=1e-4, cg_maxiter=400)
+    flat = jnp.asarray(model.pack(), jnp.float32)
+    t0 = time.perf_counter()
+    v, g = jax.block_until_ready(f(flat, Xs, ys))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(float(v)), f"ring NLML not finite at N={n}"
+    assert np.isfinite(np.asarray(g)).all()
+
+    def step(fl, s):
+        v_, g_ = f(fl * (1.0 + s * 1e-12), Xs, ys)
+        return v_ * jnp.float32(1e-6) + jnp.sum(g_) * jnp.float32(1e-9)
+
+    dt = chain_timeit(step, flat, reps=reps)
+    return {
+        "n": n,
+        "devices": 1,
+        "nlml": float(v),
+        "compile_s": round(compile_s, 1),
+        "nlml_grad_ms_chain": round(1e3 * dt, 1),
+        "opts": {"precond_rank": 64, "probes": 8, "slq_probes": 16,
+                 "lanczos_iters": 32, "cg_tol": 1e-4},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="8192,16384")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    rows = []
+    for n in [int(s) for s in args.sizes.split(",")]:
+        try:
+            row = run_one(n, reps=args.reps)
+        except Exception as e:  # noqa: BLE001 - record ladder failures
+            row = {"n": n, "error": str(e)[:300]}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    data = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as fh:
+            data = json.load(fh)
+    data["ring_nlml_tpu"] = {
+        "backend": jax.default_backend(),
+        "note": ("1-device shard_map ring program, chain-timed; "
+                 "per-device compute of the ring schedule — ICI "
+                 "volume is in results.json['comm_volume']"),
+        "rows": rows,
+        "ts": time.strftime("%F %T"),
+    }
+    with open(RESULTS, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(f"wrote ring_nlml_tpu -> {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()
