@@ -264,8 +264,13 @@ def main():
     ap.add_argument("--sizes", default=None,
                     help="comma-separated N list override")
     ap.add_argument("--no-crosscheck", action="store_true")
+    ap.add_argument("--no-fit", action="store_true",
+                    help="eval rows only (stage the ladder across runs)")
     ap.add_argument("--fit-only", action="store_true",
                     help="skip eval rows and crosscheck; run the fits")
+    ap.add_argument("--fit-stages", default=None,
+                    help="comma-separated subset of fit stages to run "
+                         "(fit, fit_sgpr_32768, fit_65536)")
     args = ap.parse_args()
 
     import jax
@@ -293,12 +298,15 @@ def main():
         except Exception as e:  # noqa: BLE001
             out["crosscheck"] = {"error": str(e)[:300]}
 
-    if args.fit_only or not args.quick:
+    if (args.fit_only or not args.quick) and not args.no_fit:
         stages = [
             ("fit", lambda: fit_row(with_quality=True)),
             ("fit_sgpr_32768", lambda: sgpr_row()),
             ("fit_65536", lambda: fit_row(n=65536, iters=15)),
         ]
+        if args.fit_stages:
+            keep = set(args.fit_stages.split(","))
+            stages = [(k, fn) for k, fn in stages if k in keep]
         for key, fn in stages:
             try:
                 out[key] = fn()

@@ -49,9 +49,13 @@ _PREC = lax.Precision.HIGHEST
 #: grad_mode="auto" switchover: at or below this N the exact N-RHS
 #: Q = A^-1 gradient is used (its ~6x-the-Cholesky cost is still small
 #: in absolute terms and the gradient is exact); above it the
-#: Hutchinson probe estimator wins — the A/B at N=4096 on a v5e
-#: (benchmarks/dist_grad_ab.py, results.json "dist_grad_ab_n4096_tpu")
-#: measures the crossover region.
+#: Hutchinson probe estimator wins. Measured on the v5e
+#: (benchmarks/dist_grad_ab.py, results.json "dist_grad_ab_n{N}_tpu",
+#: chain-timed): hutchinson32 is 1.4x at N=2048 (3.8 -> 2.7 ms),
+#: 1.9x at N=4096 (23.4 -> 12.5 ms), 2.1x at N=8192 (167 -> 80 ms),
+#: with grad cos = 1.0 and relerr 3e-4 throughout — so the probe
+#: gradient already wins at 2k, but the exact gradient stays the
+#: default while its absolute cost is small (< ~170 ms/eval).
 EXACT_GRAD_MAX_N = 8192
 
 
