@@ -62,12 +62,16 @@ def _build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--init-lik", type=float, default=None,
                     help="initial likelihood noise variance sn2")
     tr.add_argument("--engine", default="auto",
-                    choices=("auto", "dense", "iterative"),
-                    help="NLML engine: dense Cholesky, the large-N "
-                         "engine (float32-only; materializes A and "
-                         "factors it exactly up to N~32k, GEMM-backed "
-                         "CG+SLQ to ~73k, streamed Pallas tiles "
-                         "beyond), or auto by data size")
+                    choices=("auto", "dense", "iterative", "dist",
+                             "ring"),
+                    help="NLML engine: dense Cholesky; the large-N "
+                         "iterative engine (float32-only; materializes "
+                         "A and factors it exactly up to N~32k, "
+                         "GEMM-backed CG+SLQ to ~49k, streamed Pallas "
+                         "tiles beyond); 'dist' = row-sharded exact "
+                         "path over every visible device; 'ring' = "
+                         "panel-free ppermute ring route; or auto by "
+                         "data size")
     tr.add_argument("--float64", action="store_true",
                     help="fit in float64 (CPU backends; ignored by "
                          "the iterative engine, which is float32-only)")
@@ -162,9 +166,33 @@ def cmd_train(args) -> int:
               "(matrix-free CG/SLQ runs in float32)", file=sys.stderr)
     logger = FitLogger(verbose=max(0, args.verbose - 1),
                        path=args.model_name + "_metrics.json")
-    fitted, res = fit(model, Xs, ys, optimizer=args.optimiser,
-                      iters=args.iters, callback=logger,
-                      engine=getattr(args, "engine", "auto"))
+    engine = getattr(args, "engine", "auto")
+    if engine in ("dist", "ring"):
+        # mesh over every visible device: the row-sharded exact path
+        # ("dist", parallel/fit.fit_distributed) or the panel-free
+        # ring route ("ring", fit_ring) — same optimizer contract
+        import jax
+
+        from gp_ss_ak_tpu.parallel import (
+            fit_distributed,
+            fit_ring,
+            make_mesh,
+        )
+
+        mesh = make_mesh(len(jax.devices()))
+        if engine == "dist":
+            fitted, res = fit_distributed(
+                model, Xs, ys, mesh, optimizer=args.optimiser,
+                iters=args.iters, callback=logger,
+                verbose=max(0, args.verbose - 1))
+        else:
+            fitted, res = fit_ring(
+                model, Xs, ys, mesh, iters=args.iters, callback=logger,
+                verbose=max(0, args.verbose - 1))
+    else:
+        fitted, res = fit(model, Xs, ys, optimizer=args.optimiser,
+                          iters=args.iters, callback=logger,
+                          engine=engine)
     logger.save()
     if args.verbose > 0:
         print(f"-logL: {res.trace[0]:.6f} -> {res.fun:.6f} "

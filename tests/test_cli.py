@@ -135,3 +135,28 @@ class TestKernelCombos:
         assert rc == 1
         err = capsys.readouterr().err
         assert "Error" in err and "Traceback" not in err
+
+
+class TestDistributedEngines:
+    """--engine dist / ring route the train command through the
+    mesh-sharded drivers over every visible device (8 simulated CPU
+    devices here) and still produce reference-format artifacts."""
+
+    @pytest.mark.parametrize("engine", ["dist", "ring"])
+    def test_train_then_test_with_mesh_engine(self, dataset, engine,
+                                              capsys):
+        train, test, tmp = dataset
+        model = str(tmp / f"m_{engine}")
+        rc = main(["-pm", "1", "train", "-#", "6", "--float64",
+                   "--engine", engine, train, model])
+        assert rc == 0
+        assert os.path.exists(model)
+        assert os.path.exists(model + "_Statistics.txt")
+        capsys.readouterr()
+        rc = main(["test", "--no-plot", "--float64", test, model,
+                   train])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        mse, var = float(out[-2]), float(out[-1])
+        assert np.isfinite(mse)
+        assert mse < var  # trained model beats the mean predictor
