@@ -303,6 +303,11 @@ def main():
             ("fit", lambda: fit_row(with_quality=True)),
             ("fit_sgpr_32768", lambda: sgpr_row()),
             ("fit_65536", lambda: fit_row(n=65536, iters=15)),
+            # a few L-BFGS evals at BASELINE config-3 scale (streamed
+            # operator; each eval is minutes of O(N^2) passes)
+            ("fit_100000", lambda: fit_row(
+                n=100000, iters=3,
+                engine_opts=dict(STREAM_OPTS, slq_probes=16))),
         ]
         if args.fit_stages:
             keep = set(args.fit_stages.split(","))
@@ -319,7 +324,8 @@ def main():
     print(f"wrote large_n -> {RESULTS}")
 
 
-_SECTIONS = ("crosscheck", "fit", "fit_sgpr_32768", "fit_65536")
+_SECTIONS = ("crosscheck", "fit", "fit_sgpr_32768", "fit_65536",
+             "fit_100000")
 
 
 def _merge_write(out):

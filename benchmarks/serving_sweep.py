@@ -30,6 +30,8 @@ BATCHES = [256, 1024, 4096, 16384]
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -37,19 +39,28 @@ def main():
     from gp_ss_ak_tpu.model import default_model
     from gp_ss_ak_tpu.utils.profiling import chain_timeit
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-train", type=int, default=N_TRAIN,
+                    help="training-set size (the whitened solve per "
+                         "batch is O(n_train^2 m); >16384 skips the "
+                         "L^-1 precompute and uses triangular solves)")
+    args = ap.parse_args()
+    n_train = args.n_train
+
     rng = np.random.default_rng(0)
-    X = rng.uniform(-1, 1, (N_TRAIN, 3)).astype(np.float32)
+    X = rng.uniform(-1, 1, (n_train, 3)).astype(np.float32)
     y = np.sin(X @ np.array([3.0, 1.0, 2.0], np.float32))
     model = default_model(input_dim=3, dtype=jnp.float32)
     Xd, yd = jnp.asarray(X), jnp.asarray(y)
 
     post = gaussian.factorize(model.kernel, model.kernel_params,
                               model.lik_hypers, Xd, yd, model.likelihood)
-    eye = jnp.eye(N_TRAIN, dtype=jnp.float32)
-    with jax.default_matmul_precision("highest"):
-        linv = jax.scipy.linalg.solve_triangular(post.chol, eye,
-                                                 lower=True)
-    post = post._replace(linv=linv)
+    if n_train <= 16384:
+        eye = jnp.eye(n_train, dtype=jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            linv = jax.scipy.linalg.solve_triangular(post.chol, eye,
+                                                     lower=True)
+        post = post._replace(linv=linv)
 
     rows = []
     for m in BATCHES:
@@ -76,12 +87,17 @@ def main():
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             data = json.load(f)
-    data["serving_batch_sweep"] = {
+    key = ("serving_batch_sweep" if n_train == N_TRAIN
+           else f"serving_batch_sweep_n{n_train}")
+    data[key] = {
         "backend": jax.default_backend(),
-        "n_train": N_TRAIN,
-        "note": ("Predictor path with precomputed L^-1; chain-timed "
-                 "(serialized dependent batches, null-dispatch "
-                 "subtracted)"),
+        "n_train": n_train,
+        "note": (("Predictor path with precomputed L^-1; "
+                  if n_train <= 16384
+                  else "Predictor path, triangular solves (no L^-1 "
+                       "precompute at this n_train); ")
+                 + "chain-timed (serialized dependent batches, "
+                   "null-dispatch subtracted)"),
         "rows": rows,
         "ts": time.strftime("%F %T"),
     }
