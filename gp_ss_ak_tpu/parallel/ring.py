@@ -526,6 +526,76 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
     return jax.jit(mapped)
 
 
+def make_ring_predict(kernel, mesh: Mesh, n: int, n_devices: int = None,
+                      axis: str = ROW_AXIS, tol: float = 1e-6,
+                      maxiter: int = 1000,
+                      precond_rank: int = 64) -> Callable:
+    """Panel-free posterior mean AND variance at Xstar (replicated,
+    m queries): alpha and the m variance solves U = A^-1 kX ride ONE
+    ring batched PCG ([y | kX], m+1 columns share every rotation);
+    then mu = kX' alpha and var = kdiag - sum(kX * U) + sn2, both one
+    psum. Mirrors posteriorMeanVar (GP_Utils.cpp:943-1043) — the
+    whitened-solve variance identity k** - v'v with v = L^-1 kX equals
+    k** - kX' A^-1 kX, which needs no factorization. Serve in chunks:
+    cost is one ring PCG per chunk.
+
+    Returns jitted (flat, X_pad, y_pad, Xstar) -> (mu, var)."""
+    from gp_ss_ak_tpu.ops.fused import _is_flagship
+
+    if not _is_flagship(kernel):
+        raise ValueError("ring predict supports the flagship kernel "
+                         "only")
+    P_sz = n_devices or len(mesh.devices)
+    nk = kernel.n_params
+
+    def body(flat, X_local, y_local, Xstar):
+        from gp_ss_ak_tpu.kernels.distance import pad_to_3d
+
+        n_local = X_local.shape[0]
+        n_pad = n_local * P_sz
+        params = kernel.unpack(flat[:nk])
+        ep, bp = params
+        sigma, bias, sn2 = ep["Sigma"], bp["Sigma"], flat[nk]
+        Xm, g, row_valid = _mapped_local(kernel, params, X_local, n,
+                                         axis)
+        matmat = _ring_matmat_fn(Xm, row_valid, g, n, sigma, bias, sn2,
+                                 P_sz, axis)
+        # queries mapped with the same global centre as the rows
+        Xp = pad_to_3d(X_local)
+        csum = lax.psum(jnp.sum(
+            jnp.where(row_valid[:, None], Xp, 0.0), axis=0), axis)
+        M = kernel.children[0].metric(ep, Xp.shape[-1])
+        Xsm = jnp.matmul(pad_to_3d(Xstar) - csum / n, M,
+                         precision=_PREC)
+        kX = _tile(Xm, Xsm, sigma, bias)               # (n_local, m)
+        kX = jnp.where(row_valid[:, None], kX, 0.0)
+
+        if precond_rank:
+            L_local = _ring_pivoted_chol(Xm, row_valid, g, sigma, bias,
+                                         precond_rank, n_pad, axis)
+            pinv, _, _ = _ring_precond(L_local, sn2, n, axis)
+        else:
+            pinv = None
+        yz = jnp.where(row_valid, y_local, 0.0)
+        rhs = jnp.concatenate([yz[:, None], kX], axis=1)
+        sols, _it = _ring_bcg(matmat, rhs, pinv, tol, maxiter, axis)
+        alpha, U = sols[:, 0], sols[:, 1:]
+
+        mu = lax.psum(jnp.matmul(kX.T, alpha[:, None],
+                                 precision=_PREC)[:, 0], axis)
+        quad = lax.psum(jnp.sum(kX * U, axis=0), axis)
+        kdiag = sigma * sigma + bias
+        var = jnp.maximum(kdiag - quad, 0.0) + sn2
+        return mu, var
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped)
+
+
 def make_ring_posterior_mean(kernel, mesh: Mesh, n: int,
                              n_devices: int = None,
                              axis: str = ROW_AXIS, tol: float = 1e-6,

@@ -616,3 +616,30 @@ class TestWarpedDistPredict:
                                    rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
                                    rtol=1e-5, atol=1e-8)
+
+
+class TestRingPredict:
+    def test_mean_and_var_match_dense(self, mesh):
+        """make_ring_predict: panel-free mean AND variance via one
+        ring batched PCG — k** - kX' A^-1 kX equals the whitened-solve
+        variance (GP_Utils.cpp:973-1004) without any factorization."""
+        from gp_ss_ak_tpu.parallel import make_ring_predict
+
+        rng = np.random.default_rng(42)
+        n, m = 48, 7
+        X = rng.normal(size=(n, 3))
+        y = np.sin(X[:, 0])
+        Xq = rng.normal(size=(m, 3))
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=NB)
+        fp = make_ring_predict(model.kernel, mesh, n=ntrue, tol=1e-11,
+                               maxiter=3000, precond_rank=16)
+        mu, var = fp(model.pack(), Xs, ys, jnp.asarray(Xq))
+        mu_d, var_d = predict(model.kernel, model.kernel_params,
+                              model.lik_hypers, jnp.asarray(X),
+                              jnp.asarray(y), jnp.asarray(Xq),
+                              model.likelihood)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
+                                   rtol=1e-5, atol=1e-7)
