@@ -488,16 +488,29 @@ def _flagship_operator(it_gp: IterativeGP, tm=512, tn=512,
                           tm=tm, tn=tn, interpret=interpret)
 
 
-def make_preconditioner(it_gp: IterativeGP, rank: int):
+def make_preconditioner(it_gp: IterativeGP, rank=None):
     """rank-`rank` pivoted-Cholesky Woodbury preconditioner for
-    A = K + sn2 I (None when rank == 0)."""
-    if not rank:
+    A = K + sn2 I (None rank -> auto_precond_rank(n); 0 disables)."""
+    L = _pivchol(it_gp, rank)
+    if L is None:
         return None
-    L = pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, rank)
     return woodbury_preconditioner(L, it_gp.sn2)
 
 
-def _pivchol(it_gp: IterativeGP, rank: int):
+def auto_precond_rank(n: int) -> int:
+    """N-scaled default preconditioner rank. The flagship ExpAns
+    (Matern-1/2) kernel's eigenvalues decay only polynomially
+    (lambda_k ~ k^(-4/3) for 3-D inputs), so a FIXED rank that works
+    at N=4k leaves kappa ~ lambda_k/sn2 huge at 50k+ — measured: the
+    rank-64 PCG hit maxiter=800 at N=49152 (11.3 s/eval) while rank
+    kept pace with N converges in a few hundred. Cost is mild: the
+    pivoted build is O(n k (d + k)) and each Woodbury apply O(n k)."""
+    return max(64, min(512, n // 192))
+
+
+def _pivchol(it_gp: IterativeGP, rank):
+    if rank is None:
+        rank = auto_precond_rank(it_gp.Xm.shape[0])
     if not rank:
         return None
     return pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, rank)
@@ -506,7 +519,7 @@ def _pivchol(it_gp: IterativeGP, rank: int):
 def nlml_iterative(it_gp: IterativeGP, y, key, cg_tol: float = 1e-4,
                    cg_maxiter: int = 800, probes: int = 16,
                    lanczos_iters: int = 32, tm: int = 512, tn: int = 512,
-                   interpret=None, precond_rank: int = 64,
+                   interpret=None, precond_rank=None,
                    mode: str = "auto"):
     """Matrix-free NLML: 1/2 y'alpha + 1/2 slq_logdet + n/2 log 2pi.
     Returns (value, alpha, cg_iters).
@@ -556,7 +569,7 @@ def grad_iterative(it_gp: IterativeGP, y, key, alpha=None,
                    probes: int = 8, cg_tol: float = 1e-4,
                    cg_maxiter: int = 800, chunk: int = 1024,
                    tm: int = 512, tn: int = 512, interpret=None,
-                   precond_rank: int = 64, mode: str = "auto"):
+                   precond_rank=None, mode: str = "auto"):
     """d NLML / d (sigma, bias, sn2, Xm) via Hutchinson + fit term:
 
       grad = 1/2 E_z [ (A^-1 z)' dA z ]  -  1/2 alpha' dA alpha
@@ -703,7 +716,7 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
                             probes: int = 8, lanczos_iters: int = 32,
                             chunk: int = 1024, tm: int = 512,
                             tn: int = 512, interpret=None,
-                            precond_rank: int = 64,
+                            precond_rank=None,
                             slq_probes: int = 64,
                             mode: str = "auto"):
     """Fused NLML + gradient, sharing every expensive intermediate:

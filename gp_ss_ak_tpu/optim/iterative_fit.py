@@ -62,7 +62,7 @@ def make_iterative_value_and_grad(
     tn: int = 512,
     interpret=None,
     jitter: float = 0.0,
-    precond_rank: int = 64,
+    precond_rank=None,
     slq_probes: int = 64,
     mode: str = "auto",
 ):
@@ -71,7 +71,8 @@ def make_iterative_value_and_grad(
     `jitter` is folded into the operator's noise (sn2 + jitter), the
     matrix-free analogue of the dense engine adding jitter*I to A.
     `precond_rank` > 0 turns every CG solve into PCG with a rank-k
-    pivoted-Cholesky Woodbury preconditioner (0 disables it).
+    pivoted-Cholesky Woodbury preconditioner (0 disables it; None
+    picks the N-scaled auto rank, inference.iterative.auto_precond_rank).
     `mode` selects the operator strategy (inference.iterative.choose_mode):
     auto materializes A when it fits in HBM — exact Cholesky up to
     N~32k ("chol": exact value, exact probe solves), GEMM-backed
