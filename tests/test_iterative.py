@@ -523,3 +523,12 @@ class TestIterativeFitEngine:
         with pytest.raises(ValueError):
             make_iterative_value_and_grad(model, np.zeros((4, 3)),
                                           np.zeros(4))
+
+
+def test_auto_precond_rank_scales_with_n():
+    from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
+
+    assert auto_precond_rank(4096) == 64
+    assert auto_precond_rank(49152) == 256
+    assert auto_precond_rank(100000) == 512
+    assert auto_precond_rank(10 ** 7) == 512  # clamped
