@@ -27,7 +27,6 @@ positive-definiteness — see kernels/distance.py).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
