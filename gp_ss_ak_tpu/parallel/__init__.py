@@ -20,6 +20,7 @@ from gp_ss_ak_tpu.parallel.ring import (
     make_ring_nlml_and_grad,
     make_ring_posterior_mean,
     make_ring_predict,
+    make_two_level_ring_nlml_and_grad,
 )
 from gp_ss_ak_tpu.parallel.pchol import (
     block_cholesky_local,
@@ -44,6 +45,7 @@ __all__ = [
     "make_ring_cg_solve",
     "make_ring_posterior_mean",
     "make_ring_predict",
+    "make_two_level_ring_nlml_and_grad",
     "shard_training_data",
     "block_cholesky_local",
     "solve_chol_local",

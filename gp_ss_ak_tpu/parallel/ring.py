@@ -388,6 +388,8 @@ def _ring_slq_logdet(matmat, inv_sqrt, logdet_P, Z_local, n_true,
     def whitened(V):
         return inv_sqrt(matmat(inv_sqrt(V)))
 
+    from gp_ss_ak_tpu.utils.vma import pvary_like
+
     b = Z_local.shape[1]
     norms = jnp.sqrt(lax.psum(jnp.sum(Z_local * Z_local, axis=0), axis))
     V = Z_local / norms[None, :]
@@ -403,7 +405,10 @@ def _ring_slq_logdet(matmat, inv_sqrt, logdet_P, Z_local, n_true,
                            jnp.zeros_like(W))
         return (V_cur, V_next, beta), (alpha, beta)
 
-    init = (jnp.zeros_like(V), V, jnp.zeros((b,), V.dtype))
+    # beta starts invariant but every later beta carries the psum'd
+    # (chain-varying, on a two-level mesh) reduction's vma
+    init = (jnp.zeros_like(V), V,
+            pvary_like(jnp.zeros((b,), V.dtype), norms))
     _, (alphas, betas) = lax.scan(body, init, None, length=k_steps)
     betas = betas[:-1]
 
@@ -451,6 +456,23 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
     if not _is_flagship(kernel):
         raise ValueError("ring NLML supports the flagship kernel only")
     P_sz = n_devices or len(mesh.devices)
+    body = _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
+                           slq_probes, lanczos_iters, cg_tol,
+                           cg_maxiter, probe_seed)
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
+                    slq_probes, lanczos_iters, cg_tol, cg_maxiter,
+                    probe_seed):
+    """Per-device ring NLML+grad body, reusable across the 1-D mesh
+    and the two-level (chains x dp) mesh (mirrors parallel/nlml's
+    _make_nlml_body split)."""
     nk = kernel.n_params
 
     def body(flat, X_local, y_local):
@@ -478,6 +500,11 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
         Z_local = jnp.where(row_valid[:, None], Z_local, 0.0)
         yz = jnp.where(row_valid, y_local, 0.0)
         rhs = jnp.concatenate([yz[:, None], Z_local], axis=1)
+        # on a two-level mesh A (through flat) varies over the chain
+        # axis while the data-derived rhs varies only over the row
+        # axis; the CG/Lanczos carries must match from iteration 0
+        from gp_ss_ak_tpu.utils.vma import pvary_like
+        rhs = pvary_like(rhs, Xm)
         sols, _it = _ring_bcg(matmat, rhs, pinv, cg_tol, cg_maxiter,
                               axis)
         alpha, ws = sols[:, 0], sols[:, 1:]
@@ -486,6 +513,7 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
         Zl_local = lax.dynamic_slice_in_dim(Zl_all, p * n_local,
                                             n_local, 0)
         Zl_local = jnp.where(row_valid[:, None], Zl_local, 0.0)
+        Zl_local = pvary_like(Zl_local, Xm)
         logdet = _ring_slq_logdet(matmat, inv_sqrt, logdet_P, Zl_local,
                                   n, lanczos_iters, axis)
         fit = 0.5 * lax.psum(jnp.dot(yz, alpha, precision=_PREC), axis)
@@ -518,12 +546,55 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
         grad = jax.grad(surrogate)(flat)
         return value, grad
 
+    return body
+
+
+def make_two_level_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
+                                      chain_axis: str = "chains",
+                                      row_axis: str = ROW_AXIS,
+                                      precond_rank: int = 64,
+                                      probes: int = 8,
+                                      slq_probes: int = 16,
+                                      lanczos_iters: int = 32,
+                                      cg_tol: float = 1e-4,
+                                      cg_maxiter: int = 400,
+                                      probe_seed: int = 0) -> Callable:
+    """Two-level ring: each CHAIN (HMC chain / ensemble member /
+    restart) owns an independent hyper vector; within a chain the
+    ring NLML+grad runs panel-free over `row_axis`. The Bayes backbone
+    at N past the row-panel wall — pairs with bayes.api's
+    distributed-NLML custom-VJP hook, whose (flat, X, y) -> (v, g)
+    contract this matches per chain.
+
+    Returns jitted (flats (C, p), X_pad, y_pad) -> (values (C,),
+    grads (C, p)); X/y row-sharded, replicated across chains."""
+    from gp_ss_ak_tpu.ops.fused import _is_flagship
+
+    if not _is_flagship(kernel):
+        raise ValueError("ring NLML supports the flagship kernel only")
+    ci = mesh.axis_names.index(chain_axis)
+    ri = mesh.axis_names.index(row_axis)
+    P_sz = mesh.devices.shape[ri]
+    n_chains = mesh.devices.shape[ci]
+    body = _make_ring_body(kernel, n, P_sz, row_axis, precond_rank,
+                           probes, slq_probes, lanczos_iters, cg_tol,
+                           cg_maxiter, probe_seed)
+
+    def chain_body(flats_local, X_local, y_local):
+        value, grad = body(flats_local[0], X_local, y_local)
+        return value[None], grad[None]
+
     mapped = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        chain_body, mesh=mesh,
+        in_specs=(P(chain_axis, None), P(row_axis, None), P(row_axis)),
+        out_specs=(P(chain_axis), P(chain_axis, None)),
     )
-    return jax.jit(mapped)
+
+    def run(flats, X_pad, y_pad):
+        assert flats.shape[0] == n_chains
+        return mapped(flats, X_pad, y_pad)
+
+    return jax.jit(run)
 
 
 def make_ring_predict(kernel, mesh: Mesh, n: int, n_devices: int = None,

@@ -643,3 +643,57 @@ class TestRingPredict:
                                    rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
                                    rtol=1e-5, atol=1e-7)
+
+
+class TestTwoLevelRing:
+    def test_matches_per_chain_single_level_ring(self):
+        """Two-level ring (chains x dp): each chain's value/grad must
+        equal the single-level ring on the dp-sized mesh with the same
+        probe seed — the chain axis adds no collectives to the ring."""
+        from jax.sharding import Mesh
+
+        from gp_ss_ak_tpu.parallel import (
+            make_ring_nlml_and_grad,
+            make_two_level_ring_nlml_and_grad,
+        )
+        from gp_ss_ak_tpu.parallel.mesh import pad_rows
+
+        rng = np.random.default_rng(11)
+        n, d = 40, 3
+        X = rng.normal(size=(n, d))
+        y = np.sin(X[:, 0])
+        model = default_model(input_dim=d, dtype=jnp.float64)
+        opts = dict(precond_rank=16, probes=8, slq_probes=8,
+                    lanczos_iters=16, cg_tol=1e-10, cg_maxiter=2000)
+
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh2 = Mesh(devs, ("chains", ROW_AXIS))
+        n_pad = pad_rows(n, 4, NB)
+        Xp = np.zeros((n_pad, d))
+        Xp[:n] = X
+        yp = np.zeros(n_pad)
+        yp[:n] = y
+        Xs2 = jax.device_put(jnp.asarray(Xp),
+                             NamedSharding(mesh2, P(ROW_AXIS, None)))
+        ys2 = jax.device_put(jnp.asarray(yp),
+                             NamedSharding(mesh2, P(ROW_AXIS)))
+        f2 = make_two_level_ring_nlml_and_grad(model.kernel, mesh2,
+                                               n=n, **opts)
+        flat0 = np.asarray(model.pack())
+        flat1 = np.clip(flat0 * 1.25, 1e-4, 6.0)
+        flats = jax.device_put(
+            jnp.asarray(np.stack([flat0, flat1])),
+            NamedSharding(mesh2, P("chains", None)))
+        vals, grads = f2(flats, Xs2, ys2)
+
+        mesh1 = make_mesh(4)
+        Xs1, ys1, ntrue, _ = shard_training_data(mesh1, X, y, nb=NB)
+        f1 = make_ring_nlml_and_grad(model.kernel, mesh1, n=ntrue,
+                                     **opts)
+        for c, fl in enumerate([flat0, flat1]):
+            v1, g1 = f1(jnp.asarray(fl), Xs1, ys1)
+            assert float(vals[c]) == pytest.approx(float(v1),
+                                                   rel=1e-10)
+            np.testing.assert_allclose(np.asarray(grads[c]),
+                                       np.asarray(g1),
+                                       rtol=1e-9, atol=1e-12)
