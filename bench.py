@@ -251,6 +251,21 @@ def _recorded_story():
         out["fit_32768"] = {k: ln["fit"].get(k) for k in
                             ("iters", "fit_wall_s", "nlml_final",
                              "holdout_mse") if k in ln["fit"]}
+    ab = data.get("dist_grad_ab_n8192_tpu") or {}
+    hu = ab.get("hutchinson32") or {}
+    if hu.get("speedup_vs_exact"):
+        out["dist_grad_hutchinson_speedup_n8192"] = \
+            hu["speedup_vs_exact"]
+    ring = data.get("ring_nlml_tpu") or {}
+    rrows = [r for r in ring.get("rows", []) if "error" not in r]
+    if rrows:
+        out["ring_nlml_grad_ms"] = {
+            str(r["n"]): r.get("nlml_grad_ms_chain") for r in rrows}
+    cv = data.get("comm_volume") or {}
+    crows = cv.get("rows", [])
+    if crows:
+        out["dist_bytes_per_flop"] = {
+            str(r["n"]): round(r["bytes_per_flop"], 6) for r in crows}
     return out or None
 
 
