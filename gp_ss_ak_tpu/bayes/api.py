@@ -51,7 +51,9 @@ def sample_hyperposterior(
     `nlml_value_and_grad` (flat_theta -> (NLML, grad)) is the hook for
     objectives whose gradient is computed EXPLICITLY — pass
     parallel.make_dist_nlml_and_grad's function (closed over the
-    sharded X, y) to run every leapfrog's O(N^3) on the mesh pipeline.
+    sharded X, y) to run every leapfrog's O(N^3) on the mesh pipeline,
+    or parallel.make_ring_nlml_and_grad's (same contract) for N past
+    the row-panel wall.
     It is wrapped in a custom VJP, so the sampler's
     jax.value_and_grad never reverse-differentiates the fori_loop
     block Cholesky (which would be both wrong-memory and slow).

@@ -159,6 +159,34 @@ class TestGPHyperposterior:
         assert np.isfinite(th).all()
         assert th.min() >= 1e-4 - 1e-9 and th.max() <= 6.0 + 1e-9
 
+    def test_ring_value_and_grad_hook(self):
+        """The ring NLML+grad has the same (flat) -> (v, g) contract,
+        so the custom-VJP hook runs leapfrogs panel-free — the Bayes
+        route at N past the row-panel wall."""
+        from gp_ss_ak_tpu.parallel import (
+            make_mesh,
+            make_ring_nlml_and_grad,
+            shard_training_data,
+        )
+
+        n = 24
+        X = np.linspace(-1, 1, n).reshape(-1, 1).astype(np.float64)
+        y = np.sin(3 * X[:, 0])
+        model = default_model(input_dim=1, dtype=jnp.float64)
+        mesh = make_mesh(8)
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=4)
+        ring = make_ring_nlml_and_grad(
+            model.kernel, mesh, n=ntrue, precond_rank=8, probes=8,
+            slq_probes=8, lanczos_iters=12, cg_tol=1e-8,
+            cg_maxiter=500)
+        theta, aps = sample_hyperposterior(
+            model, X, y, jax.random.PRNGKey(2), n_samples=10,
+            n_warmup=10, n_chains=2, sampler="nuts",
+            nlml_value_and_grad=lambda t: ring(t, Xs, ys))
+        th = np.asarray(theta)
+        assert th.shape == (2, 10, 10)
+        assert np.isfinite(th).all()
+
     def test_hook_and_mesh_mutually_exclusive(self):
         from gp_ss_ak_tpu.parallel import make_mesh
 
