@@ -20,12 +20,14 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import re
 import time
 
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))  # repo root, for direct-script runs
 RESULTS = os.path.join(HERE, "results.json")
 
 SIZES = [2048, 4096, 8192]

@@ -24,11 +24,13 @@ import argparse
 import json
 import math
 import os
+import sys
 import time
 
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))  # repo root, for direct-script runs
 RESULTS = os.path.join(HERE, "results.json")
 
 SIZES = [16384, 32768, 49152, 65536, 100000]

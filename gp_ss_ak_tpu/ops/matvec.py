@@ -88,47 +88,53 @@ def _matvec(Xt, norms, v2, scalars, tm: int, tn: int, interpret: bool):
 
 
 def _matmat_kernel(scal_ref, xt_ref, norms_ref, v_ref, out_ref, *,
-                   tm: int, tn: int, n_col_tiles: int):
-    """out tile (tm, B) = sum_j K(i, j) @ V_j — B right-hand sides
-    share one pass over the Gram tiles (the streaming cost that
-    dominates a single matvec)."""
+                   tm: int, tn: int):
+    """out tile (tm, B) += K(i, j) @ V_j over a 2D (row, col) grid.
+
+    B right-hand sides share one pass over the Gram tiles (the
+    streaming cost that dominates a single matvec). The probe block V
+    is NOT resident in VMEM: each (B, tn) column tile arrives through
+    the pallas pipeline (BlockSpec below) and the (tm, B) output block
+    is revisited across the j (minor) grid dimension, accumulating in
+    place. At N = 100k with B = 40 a resident V would be 16 MB — alone
+    over the ~16 MB/core VMEM budget (the round-2 ladder died here);
+    this layout keeps VMEM at X-transpose (32B x N) + two pipelined
+    tiles, so the streamed operator scales to N ~ 4e5 rows."""
     s2 = scal_ref[0]
-    b = v_ref.shape[0]
     i = pl.program_id(0)
+    j = pl.program_id(1)
     xi = xt_ref[:, pl.ds(i * tm, tm)]            # (dpad, tm)
     ni = norms_ref[:, pl.ds(i * tm, tm)]         # (1, tm)
+    xj = xt_ref[:, pl.ds(j * tn, tn)]            # (dpad, tn)
+    nj = norms_ref[:, pl.ds(j * tn, tn)]         # (1, tn)
+    cross = jax.lax.dot_general(
+        xi, xj, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # (tm, tn)
+    d2 = ni.reshape(tm, 1) + nj.reshape(1, tn) - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    k = s2 * jnp.exp(-jnp.sqrt(d2))
+    rows = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+    cols = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    k = jnp.where(rows == cols, s2, k)           # exact diagonal
+    contrib = jax.lax.dot_general(
+        k, v_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # (tm, B)
 
-    def body(j, acc):
-        xj = xt_ref[:, pl.ds(j * tn, tn)]        # (dpad, tn)
-        nj = norms_ref[:, pl.ds(j * tn, tn)]     # (1, tn)
-        cross = jax.lax.dot_general(
-            xi, xj, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (tm, tn)
-        d2 = ni.reshape(tm, 1) + nj.reshape(1, tn) - 2.0 * cross
-        d2 = jnp.maximum(d2, 0.0)
-        k = s2 * jnp.exp(-jnp.sqrt(d2))
-        rows = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-        cols = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
-        k = jnp.where(rows == cols, s2, k)       # exact diagonal
-        vj = v_ref[:, pl.ds(j * tn, tn)]         # (B, tn)
-        contrib = jax.lax.dot_general(
-            k, vj, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (tm, B)
-        return acc + contrib
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    acc0 = jnp.zeros((tm, b), jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(0, n_col_tiles, body, acc0)
+    out_ref[...] += contrib
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
 def _matmat(Xt, norms, V2, scalars, tm: int, tn: int, interpret: bool):
     dpad, npad = Xt.shape
     b = V2.shape[0]
-    grid = (npad // tm,)
-    kern = functools.partial(_matmat_kernel, tm=tm, tn=tn,
-                             n_col_tiles=npad // tn)
+    grid = (npad // tm, npad // tn)
+    kern = functools.partial(_matmat_kernel, tm=tm, tn=tn)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((npad, b), jnp.float32),
@@ -137,9 +143,11 @@ def _matmat(Xt, norms, V2, scalars, tm: int, tn: int, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),          # scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),          # Xt full
             pl.BlockSpec(memory_space=pltpu.VMEM),          # norms full
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # V full
+            # V: (B, tn) column tile, pipelined per grid step
+            pl.BlockSpec((b, tn), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((tm, b), lambda i: (i, 0)),
+        # output block revisited across j (minor dim): accumulation
+        out_specs=pl.BlockSpec((tm, b), lambda i, j: (i, 0)),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * npad * (dpad + b),
             bytes_accessed=4 * (npad * dpad + 3 * npad * b),
