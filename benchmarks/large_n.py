@@ -219,6 +219,11 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
     }
     if with_quality:
         try:
+            # the fit's jit caches pin GBs of HBM (A + L at this N);
+            # release them before the Predictor factorizes its own K
+            import jax
+
+            jax.clear_caches()
             row.update(_mse_quality(fitted, X, y))
         except Exception as e:  # noqa: BLE001
             row["quality_error"] = str(e)[:200]
@@ -321,6 +326,12 @@ def main():
             except Exception as e:  # noqa: BLE001
                 out[key] = {"error": str(e)[:300]}
             _merge_write(dict(out))
+            # each fit stage leaves GBs of jit-cache HBM behind; a
+            # single process OOM-cascades without this (and prefer
+            # one --fit-stages <name> per process for full isolation)
+            import jax
+
+            jax.clear_caches()
 
     _merge_write(out)
     print(f"wrote large_n -> {RESULTS}")

@@ -214,13 +214,24 @@ def pcg_solve(matvec: Callable, b: jnp.ndarray, pinv: Callable,
     return xbest, it, jnp.sqrt(rn_best)
 
 
+#: bcg stops after this many consecutive iterations in which NO
+#: column improved its best residual: a column whose f32-achievable
+#: residual floor sits above `tol` would otherwise spin the whole
+#: lock-step solve to `maxiter` (the round-2 49k/65k ladder rows
+#: burned 800 iterations this way) while Xbest no longer changes.
+BCG_STALL_ITERS = 25
+
+
 def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
               tol: float = 1e-5, maxiter: int = 500):
     """Batched (P)CG: B independent right-hand sides advanced in
     lock-step through ONE blocked matvec per iteration — all columns
     share each pass over the streamed Gram tiles, which is the entire
     cost of a matrix-free iteration. Converged columns freeze (their
-    step sizes are masked to zero). Returns (X (n,B), n_iters)."""
+    step sizes are masked to zero); the solve also stops once no
+    column has improved its best residual for `BCG_STALL_ITERS`
+    iterations (rounding floor reached — extra passes buy nothing).
+    Returns (X (n,B), n_iters)."""
     B_rhs = jnp.asarray(B_rhs)
     X = jnp.zeros_like(B_rhs)
     R = B_rhs
@@ -240,11 +251,12 @@ def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
         return (rn > thresh) & jnp.isfinite(rn)
 
     def cond(state):
-        _X, R, _Z, _P, _rz, it, _Xb, _rb = state
-        return jnp.any(_active(R)) & (it < maxiter)
+        _X, R, _Z, _P, _rz, it, _Xb, _rb, stall = state
+        return jnp.any(_active(R)) & (it < maxiter) \
+            & (stall < BCG_STALL_ITERS)
 
     def body(state):
-        X, R, Z, P, rz, it, Xbest, rn_best = state
+        X, R, Z, P, rz, it, Xbest, rn_best, stall = state
         active = _active(R)
         AP = matmat(P)
         pAp = jnp.sum(P * AP, axis=0)
@@ -257,16 +269,17 @@ def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
             & jnp.all(jnp.isfinite(X), axis=0)
         Xbest = jnp.where(better[None, :], X, Xbest)
         rn_best = jnp.where(better, rn, rn_best)
+        stall = jnp.where(jnp.any(better & active), 0, stall + 1)
         Z = pinv(R) if pinv is not None else R
         rz_new = jnp.sum(R * Z, axis=0)
         beta = jnp.where(ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         P = Z + beta[None, :] * P
-        return X, R, Z, P, rz_new, it + 1, Xbest, rn_best
+        return X, R, Z, P, rz_new, it + 1, Xbest, rn_best, stall
 
     rn0 = jnp.sum(B_rhs * B_rhs, axis=0)
-    _X, R, _Z, _P, _rz, it, Xbest, _rb = lax.while_loop(
+    _X, R, _Z, _P, _rz, it, Xbest, _rb, _st = lax.while_loop(
         cond, body,
-        (X, R, Z, P, rz, jnp.asarray(0), X, rn0))
+        (X, R, Z, P, rz, jnp.asarray(0), X, rn0, jnp.asarray(0)))
     return Xbest, it
 
 
@@ -503,9 +516,16 @@ def auto_precond_rank(n: int) -> int:
     (lambda_k ~ k^(-4/3) for 3-D inputs), so a FIXED rank that works
     at N=4k leaves kappa ~ lambda_k/sn2 huge at 50k+ — measured: the
     rank-64 PCG hit maxiter=800 at N=49152 (11.3 s/eval) while rank
-    kept pace with N converges in a few hundred. Cost is mild: the
-    pivoted build is O(n k (d + k)) and each Woodbury apply O(n k)."""
-    return max(64, min(512, n // 192))
+    kept pace with N converges in a few hundred.
+
+    The rank is cheap relative to what it saves: each doubling cuts
+    PCG iterations ~1.5x (measured at N=8192: 113/72/45/29/19 iters
+    for ranks 64/128/256/512/1024; N=16384: 170/106/65/42/27), the
+    pivoted build is O(n k (d + k)) once per hyperparameter setting,
+    and each Woodbury apply is O(n k) — noise next to the O(n^2)
+    operator pass it replaces. So the rule leans high: every PCG
+    iteration saved is a full pass over the Gram tiles."""
+    return max(64, min(1024, n // 48))
 
 
 def _pivchol(it_gp: IterativeGP, rank):
