@@ -334,8 +334,12 @@ def _ring_precond(L_local, sn2, n_true, axis):
 
 def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis):
     """Batched PCG with psum'd inner products and the same
-    best-iterate / non-finite hardening as inference.iterative
-    .bcg_solve (frozen columns never poison the result)."""
+    best-iterate / non-finite / stall hardening as inference.iterative
+    .bcg_solve (frozen columns never poison the result; a tolerance
+    below the f32 floor stops at the residual plateau instead of
+    spinning every device to maxiter)."""
+    from gp_ss_ak_tpu.inference.iterative import BCG_STALL_ITERS
+
     def psum_cols(M):
         return lax.psum(jnp.sum(M, axis=0), axis)
 
@@ -352,11 +356,12 @@ def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis):
         return (rn > thresh) & jnp.isfinite(rn)
 
     def cond(state):
-        _X, R, _Z, _P, _rz, it, _Xb, _rb = state
-        return jnp.any(_active(R)) & (it < maxiter)
+        _X, R, _Z, _P, _rz, it, _Xb, _rb, stall = state
+        return jnp.any(_active(R)) & (it < maxiter) \
+            & (stall < BCG_STALL_ITERS)
 
     def body(state):
-        X, R, Z, Pv, rz, it, Xbest, rn_best = state
+        X, R, Z, Pv, rz, it, Xbest, rn_best, stall = state
         active = _active(R)
         AP = matmat(Pv)
         pAp = psum_cols(Pv * AP)
@@ -368,14 +373,23 @@ def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis):
         better = jnp.isfinite(rn) & (rn < rn_best)
         Xbest = jnp.where(better[None, :], X, Xbest)
         rn_best = jnp.where(better, rn, rn_best)
+        # psum'd quantities are replicated, so every device agrees on
+        # the stall count and exits the while_loop in the same step
+        stall = jnp.where(jnp.any(better & active), 0, stall + 1)
         Z = pinv(R) if pinv is not None else R
         rz_new = psum_cols(R * Z)
         beta = jnp.where(ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         Pv = Z + beta[None, :] * Pv
-        return X, R, Z, Pv, rz_new, it + 1, Xbest, rn_best
+        return X, R, Z, Pv, rz_new, it + 1, Xbest, rn_best, stall
 
-    state = (X, R, Z, Pv, rz, jnp.asarray(0), X, rn0)
-    _X, _R, _Z, _P, _rz, it, Xbest, _rb = lax.while_loop(
+    from gp_ss_ak_tpu.utils.vma import pvary_like
+
+    # the stall counter's update depends on the psum'd residuals, so
+    # under a two-level mesh it is varying over the OUTER axis (each
+    # chain stalls independently); the initial carry must match
+    stall0 = pvary_like(jnp.asarray(0), rn0)
+    state = (X, R, Z, Pv, rz, jnp.asarray(0), X, rn0, stall0)
+    _X, _R, _Z, _P, _rz, it, Xbest, _rb, _st = lax.while_loop(
         cond, body, state)
     return Xbest, it
 
@@ -425,7 +439,7 @@ def _ring_slq_logdet(matmat, inv_sqrt, logdet_P, Z_local, n_true,
 
 def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
                             n_devices: int = None, axis: str = ROW_AXIS,
-                            precond_rank: int = 64, probes: int = 8,
+                            precond_rank: int = None, probes: int = 8,
                             slq_probes: int = 16,
                             lanczos_iters: int = 32,
                             cg_tol: float = 1e-4, cg_maxiter: int = 400,
@@ -455,6 +469,9 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
 
     if not _is_flagship(kernel):
         raise ValueError("ring NLML supports the flagship kernel only")
+    if precond_rank is None:
+        from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
+        precond_rank = auto_precond_rank(n)
     P_sz = n_devices or len(mesh.devices)
     body = _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
                            slq_probes, lanczos_iters, cg_tol,
@@ -552,7 +569,7 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
 def make_two_level_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
                                       chain_axis: str = "chains",
                                       row_axis: str = ROW_AXIS,
-                                      precond_rank: int = 64,
+                                      precond_rank: int = None,
                                       probes: int = 8,
                                       slq_probes: int = 16,
                                       lanczos_iters: int = 32,
@@ -572,6 +589,9 @@ def make_two_level_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
 
     if not _is_flagship(kernel):
         raise ValueError("ring NLML supports the flagship kernel only")
+    if precond_rank is None:
+        from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
+        precond_rank = auto_precond_rank(n)
     ci = mesh.axis_names.index(chain_axis)
     ri = mesh.axis_names.index(row_axis)
     P_sz = mesh.devices.shape[ri]
@@ -600,7 +620,7 @@ def make_two_level_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
 def make_ring_predict(kernel, mesh: Mesh, n: int, n_devices: int = None,
                       axis: str = ROW_AXIS, tol: float = 1e-6,
                       maxiter: int = 1000,
-                      precond_rank: int = 64) -> Callable:
+                      precond_rank: int = None) -> Callable:
     """Panel-free posterior mean AND variance at Xstar (replicated,
     m queries): alpha and the m variance solves U = A^-1 kX ride ONE
     ring batched PCG ([y | kX], m+1 columns share every rotation);
@@ -616,6 +636,9 @@ def make_ring_predict(kernel, mesh: Mesh, n: int, n_devices: int = None,
     if not _is_flagship(kernel):
         raise ValueError("ring predict supports the flagship kernel "
                          "only")
+    if precond_rank is None:
+        from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
+        precond_rank = auto_precond_rank(n)
     P_sz = n_devices or len(mesh.devices)
     nk = kernel.n_params
 
