@@ -268,8 +268,13 @@ def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
         better = jnp.isfinite(rn) & (rn < rn_best) \
             & jnp.all(jnp.isfinite(X), axis=0)
         Xbest = jnp.where(better[None, :], X, Xbest)
+        # only a MEANINGFUL improvement (0.1% in the squared residual)
+        # resets the stall counter: near the f32 floor the best
+        # residual keeps creeping down by noise-level amounts, which
+        # would defer the cutoff for hundreds of wasted passes
+        meaningful = better & (rn < 0.999 * rn_best)
         rn_best = jnp.where(better, rn, rn_best)
-        stall = jnp.where(jnp.any(better & active), 0, stall + 1)
+        stall = jnp.where(jnp.any(meaningful & active), 0, stall + 1)
         Z = pinv(R) if pinv is not None else R
         rz_new = jnp.sum(R * Z, axis=0)
         beta = jnp.where(ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)

@@ -372,10 +372,13 @@ def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis):
         rn = psum_cols(R * R)
         better = jnp.isfinite(rn) & (rn < rn_best)
         Xbest = jnp.where(better[None, :], X, Xbest)
-        rn_best = jnp.where(better, rn, rn_best)
         # psum'd quantities are replicated, so every device agrees on
-        # the stall count and exits the while_loop in the same step
-        stall = jnp.where(jnp.any(better & active), 0, stall + 1)
+        # the stall count and exits the while_loop in the same step;
+        # only a meaningful (0.1%) improvement resets it — noise-level
+        # creep near the f32 floor must not defer the cutoff
+        meaningful = better & (rn < 0.999 * rn_best)
+        rn_best = jnp.where(better, rn, rn_best)
+        stall = jnp.where(jnp.any(meaningful & active), 0, stall + 1)
         Z = pinv(R) if pinv is not None else R
         rz_new = psum_cols(R * Z)
         beta = jnp.where(ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
