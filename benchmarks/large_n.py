@@ -75,7 +75,17 @@ def eval_row(n, reps=5):
     opts = dict(STREAM_OPTS) if mode == "stream" else {}
     if mode == "stream":
         reps = min(reps, 2)     # each eval is minutes of O(N^2) passes
-    vg = make_iterative_value_and_grad(model, X, y, **opts)
+        # bounded dispatches: a monolithic stream eval at this N is
+        # minutes of device time in ONE dispatch, which the tunneled
+        # TPU worker does not survive (optim/segmented.py docstring)
+        from gp_ss_ak_tpu.optim.segmented import (
+            make_segmented_value_and_grad,
+        )
+
+        vg = make_segmented_value_and_grad(model, X, y, **opts)
+        mode = "stream_segmented"
+    else:
+        vg = make_iterative_value_and_grad(model, X, y, **opts)
     flat = np.asarray(model.pack(), np.float64)
 
     t0 = time.perf_counter()
@@ -207,10 +217,12 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
     fitted, res = fit(model, X, y, engine="iterative", iters=iters,
                       engine_opts=engine_opts)
     wall = time.perf_counter() - t0
+    eo = engine_opts or {}
     row = {
         "n": n,
         "schema": SCHEMA,
-        "mode": (engine_opts or {}).get("mode", choose_mode(n)),
+        "mode": eo.get("mode", choose_mode(n))
+                + ("_segmented" if eo.get("segmented") else ""),
         "iters": int(res.n_iters),
         "evals": int(res.n_evals),
         "fit_wall_s": round(wall, 1),
@@ -309,12 +321,17 @@ def main():
         stages = [
             ("fit", lambda: fit_row(with_quality=True)),
             ("fit_sgpr_32768", lambda: sgpr_row()),
-            ("fit_65536", lambda: fit_row(n=65536, iters=15)),
+            # stream-regime fits run the segmented driver: bounded
+            # dispatches survive the tunneled worker (optim/segmented)
+            ("fit_65536", lambda: fit_row(
+                n=65536, iters=15,
+                engine_opts=dict(STREAM_OPTS, segmented=True))),
             # a few L-BFGS evals at BASELINE config-3 scale (streamed
             # operator; each eval is minutes of O(N^2) passes)
             ("fit_100000", lambda: fit_row(
                 n=100000, iters=3,
-                engine_opts=dict(STREAM_OPTS, slq_probes=16))),
+                engine_opts=dict(STREAM_OPTS, slq_probes=16,
+                                 segmented=True))),
         ]
         if args.fit_stages:
             keep = set(args.fit_stages.split(","))

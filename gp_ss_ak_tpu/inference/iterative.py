@@ -122,24 +122,68 @@ def pivoted_cholesky(Xm: jnp.ndarray, sigma, bias, rank: int):
     return L
 
 
+def woodbury_pieces(L: jnp.ndarray, sn2):
+    """The k x k Cholesky factor of M = sn2 I_k + L^T L — the only
+    precomputable piece of the Woodbury apply. Pure array in/out, so
+    a segmented driver can compute it once per eval and ship it into
+    pre-compiled segment programs."""
+    k = L.shape[1]
+    M = sn2 * jnp.eye(k, dtype=L.dtype) + jnp.matmul(
+        L.T, L, precision=jax.lax.Precision.HIGHEST)
+    return jnp.linalg.cholesky(M)
+
+
+def woodbury_apply(L: jnp.ndarray, Mchol: jnp.ndarray, sn2, v):
+    """P^-1 v = (v - L M^-1 L^T v) / sn2 for P = L L^T + sn2 I.
+    Accepts a vector (n,) or a block of columns (n, B)."""
+    vm = v if v.ndim == 2 else v[:, None]
+    Ltv = jnp.matmul(L.T, vm, precision=jax.lax.Precision.HIGHEST)
+    w = jax.scipy.linalg.cho_solve((Mchol, True), Ltv)
+    out = (vm - jnp.matmul(L, w,
+                           precision=jax.lax.Precision.HIGHEST)) / sn2
+    return out if v.ndim == 2 else out[:, 0]
+
+
 def woodbury_preconditioner(L: jnp.ndarray, sn2):
     """P^-1 for P = L L^T + sn2 I via the Woodbury identity:
     P^-1 v = (v - L M^-1 L^T v) / sn2,  M = sn2 I_k + L^T L.
     Accepts a vector (n,) or a block of columns (n, B)."""
-    k = L.shape[1]
-    M = sn2 * jnp.eye(k, dtype=L.dtype) + jnp.matmul(
-        L.T, L, precision=jax.lax.Precision.HIGHEST)
-    cho = jax.scipy.linalg.cho_factor(M, lower=True)
+    Mchol = woodbury_pieces(L, sn2)
 
     def pinv(v):
-        vm = v if v.ndim == 2 else v[:, None]
-        Ltv = jnp.matmul(L.T, vm, precision=jax.lax.Precision.HIGHEST)
-        w = jax.scipy.linalg.cho_solve(cho, Ltv)
-        out = (vm - jnp.matmul(L, w,
-                               precision=jax.lax.Precision.HIGHEST)) / sn2
-        return out if v.ndim == 2 else out[:, 0]
+        return woodbury_apply(L, Mchol, sn2, v)
 
     return pinv
+
+
+def precond_sqrt_pieces(L: jnp.ndarray, sn2):
+    """The array pieces of P^(-1/2) and logdet P for P = L L^T + sn2 I
+    (pure in/out — computable once per eval in a setup dispatch).
+    Returns (Q (n, k), inv_sqrt_eig (k,), logdet_P ())."""
+    n, k = L.shape
+    LtL = jnp.matmul(L.T, L, precision=jax.lax.Precision.HIGHEST)
+    S, U = jnp.linalg.eigh(LtL)
+    S = jnp.maximum(S, 0.0)
+    mask = S > 1e-10
+    Q = jnp.matmul(L, U / jnp.sqrt(jnp.maximum(S, 1e-30))[None, :],
+                   precision=jax.lax.Precision.HIGHEST)
+    Q = Q * mask[None, :].astype(L.dtype)
+    inv_sqrt_eig = jnp.where(mask, 1.0 / jnp.sqrt(S + sn2), 0.0)
+    logdet_P = (n - jnp.sum(mask)) * jnp.log(sn2) \
+        + jnp.sum(jnp.where(mask, jnp.log(S + sn2), 0.0))
+    return Q, inv_sqrt_eig, logdet_P
+
+
+def precond_sqrt_apply(Q: jnp.ndarray, inv_sqrt_eig: jnp.ndarray, sn2, v):
+    """P^(-1/2) v from the pieces of `precond_sqrt_pieces`."""
+    rsn = 1.0 / jnp.sqrt(sn2)
+    vm = v if v.ndim == 2 else v[:, None]
+    Qtv = jnp.matmul(Q.T, vm, precision=jax.lax.Precision.HIGHEST)
+    out = (vm - jnp.matmul(Q, Qtv,
+                           precision=jax.lax.Precision.HIGHEST)) * rsn \
+        + jnp.matmul(Q, inv_sqrt_eig[:, None] * Qtv,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out if v.ndim == 2 else out[:, 0]
 
 
 def precond_sqrt(L: jnp.ndarray, sn2):
@@ -151,27 +195,10 @@ def precond_sqrt(L: jnp.ndarray, sn2):
       P^(-1/2) v = (v - Q Q^T v)/sqrt(sn2) + Q diag(1/sqrt(S+sn2)) Q^T v
       logdet P   = (n - k') log sn2 + sum_{S_i>0} log(S_i + sn2)
     All O(n k) GEMMs — MXU food. Returns (apply_inv_sqrt, logdet_P)."""
-    n, k = L.shape
-    LtL = jnp.matmul(L.T, L, precision=jax.lax.Precision.HIGHEST)
-    S, U = jnp.linalg.eigh(LtL)
-    S = jnp.maximum(S, 0.0)
-    mask = S > 1e-10
-    Q = jnp.matmul(L, U / jnp.sqrt(jnp.maximum(S, 1e-30))[None, :],
-                   precision=jax.lax.Precision.HIGHEST)
-    Q = Q * mask[None, :].astype(L.dtype)
-    inv_sqrt_eig = jnp.where(mask, 1.0 / jnp.sqrt(S + sn2), 0.0)
-    rsn = 1.0 / jnp.sqrt(sn2)
-    logdet_P = (n - jnp.sum(mask)) * jnp.log(sn2) \
-        + jnp.sum(jnp.where(mask, jnp.log(S + sn2), 0.0))
+    Q, inv_sqrt_eig, logdet_P = precond_sqrt_pieces(L, sn2)
 
     def apply_inv_sqrt(v):
-        vm = v if v.ndim == 2 else v[:, None]
-        Qtv = jnp.matmul(Q.T, vm, precision=jax.lax.Precision.HIGHEST)
-        out = (vm - jnp.matmul(Q, Qtv,
-                               precision=jax.lax.Precision.HIGHEST)) * rsn \
-            + jnp.matmul(Q, inv_sqrt_eig[:, None] * Qtv,
-                         precision=jax.lax.Precision.HIGHEST)
-        return out if v.ndim == 2 else out[:, 0]
+        return precond_sqrt_apply(Q, inv_sqrt_eig, sn2, v)
 
     return apply_inv_sqrt, logdet_P
 
@@ -222,24 +249,27 @@ def pcg_solve(matvec: Callable, b: jnp.ndarray, pinv: Callable,
 BCG_STALL_ITERS = 25
 
 
-def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
-              tol: float = 1e-5, maxiter: int = 500):
-    """Batched (P)CG: B independent right-hand sides advanced in
-    lock-step through ONE blocked matvec per iteration — all columns
-    share each pass over the streamed Gram tiles, which is the entire
-    cost of a matrix-free iteration. Converged columns freeze (their
-    step sizes are masked to zero); the solve also stops once no
-    column has improved its best residual for `BCG_STALL_ITERS`
-    iterations (rounding floor reached — extra passes buy nothing).
-    Returns (X (n,B), n_iters)."""
+def bcg_init(B_rhs: jnp.ndarray, pinv=None, tol: float = 1e-5):
+    """Initial (state, thresh) for the batched-PCG loop — see
+    `bcg_segment`. State is a flat tuple of arrays, so it can cross
+    dispatch boundaries (the segmented large-N driver carries it on
+    the host between bounded jit segments)."""
     B_rhs = jnp.asarray(B_rhs)
     X = jnp.zeros_like(B_rhs)
     R = B_rhs
     Z = pinv(R) if pinv is not None else R
-    P = Z
     rz = jnp.sum(R * Z, axis=0)
-    thresh = (tol ** 2) * jnp.sum(B_rhs * B_rhs, axis=0)
+    rn0 = jnp.sum(B_rhs * B_rhs, axis=0)
+    thresh = (tol ** 2) * rn0
+    state = (X, R, Z, Z, rz, jnp.asarray(0), X, rn0, jnp.asarray(0))
+    return state, thresh
 
+
+def bcg_segment(matmat: Callable, pinv, state, thresh, it_cap: int):
+    """Advance the batched-PCG state until convergence/stall or the
+    ABSOLUTE iteration count reaches `it_cap`. Returns the new state;
+    pass it back in with a larger cap to resume — bit-identical to one
+    uninterrupted loop, since the state tuple is the loop carry."""
     def _active(R):
         # a column stays active while its residual is finite and above
         # tolerance; a non-finite residual (CG divergence over a noisy
@@ -252,7 +282,7 @@ def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
 
     def cond(state):
         _X, R, _Z, _P, _rz, it, _Xb, _rb, stall = state
-        return jnp.any(_active(R)) & (it < maxiter) \
+        return jnp.any(_active(R)) & (it < it_cap) \
             & (stall < BCG_STALL_ITERS)
 
     def body(state):
@@ -281,10 +311,31 @@ def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
         P = Z + beta[None, :] * P
         return X, R, Z, P, rz_new, it + 1, Xbest, rn_best, stall
 
-    rn0 = jnp.sum(B_rhs * B_rhs, axis=0)
-    _X, R, _Z, _P, _rz, it, Xbest, _rb, _st = lax.while_loop(
-        cond, body,
-        (X, R, Z, P, rz, jnp.asarray(0), X, rn0, jnp.asarray(0)))
+    return lax.while_loop(cond, body, state)
+
+
+def bcg_done(state, thresh) -> jnp.ndarray:
+    """True when the PCG state has converged or stalled (resuming with
+    a larger cap would do nothing). Matches bcg_segment's cond."""
+    _X, R, _Z, _P, _rz, _it, _Xb, _rb, stall = state
+    rn = jnp.sum(R * R, axis=0)
+    still = jnp.any((rn > thresh) & jnp.isfinite(rn))
+    return (~still) | (stall >= BCG_STALL_ITERS)
+
+
+def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
+              tol: float = 1e-5, maxiter: int = 500):
+    """Batched (P)CG: B independent right-hand sides advanced in
+    lock-step through ONE blocked matvec per iteration — all columns
+    share each pass over the streamed Gram tiles, which is the entire
+    cost of a matrix-free iteration. Converged columns freeze (their
+    step sizes are masked to zero); the solve also stops once no
+    column has improved its best residual for `BCG_STALL_ITERS`
+    iterations (rounding floor reached — extra passes buy nothing).
+    Returns (X (n,B), n_iters)."""
+    state, thresh = bcg_init(B_rhs, pinv, tol)
+    state = bcg_segment(matmat, pinv, state, thresh, maxiter)
+    _X, R, _Z, _P, _rz, it, Xbest, _rb, _st = state
     return Xbest, it
 
 
@@ -354,6 +405,49 @@ def _lanczos_batched(matmat: Callable, V0: jnp.ndarray, k: int):
     init = (jnp.zeros_like(V), V, jnp.zeros((b,), V.dtype))
     _, (alphas, betas) = lax.scan(body, init, None, length=k)
     return alphas, betas[:-1]
+
+
+def lanczos_batched_init(V0: jnp.ndarray):
+    """Initial carry for a segmented batched Lanczos (see
+    `lanczos_batched_segment`)."""
+    V = V0 / jnp.linalg.norm(V0, axis=0, keepdims=True)
+    b = V0.shape[1]
+    return (jnp.zeros_like(V), V, jnp.zeros((b,), V.dtype))
+
+
+def lanczos_batched_segment(matmat: Callable, carry, k_steps: int):
+    """Advance the batched Lanczos by `k_steps` and emit that
+    segment's (alphas (k_steps, B), betas (k_steps, B)) along with the
+    new carry — concatenating segment outputs reproduces
+    `_lanczos_batched` exactly (same recurrence, same carry)."""
+    def body(carry, _):
+        V_prev, V_cur, beta_prev = carry
+        W = matmat(V_cur) - beta_prev[None, :] * V_prev
+        alpha = jnp.sum(W * V_cur, axis=0)
+        W = W - alpha[None, :] * V_cur
+        beta = jnp.linalg.norm(W, axis=0)
+        V_next = jnp.where(beta[None, :] > 1e-10,
+                           W / jnp.where(beta > 0, beta, 1.0)[None, :],
+                           jnp.zeros_like(W))
+        return (V_cur, V_next, beta), (alpha, beta)
+
+    carry, (alphas, betas) = lax.scan(body, carry, None, length=k_steps)
+    return carry, alphas, betas
+
+
+def slq_quadrature(alphas, betas, n: int):
+    """Gauss quadrature on the (k, B) tridiagonal coefficient stacks:
+    mean_z ||z||^2 e1' log(T_z) e1. `betas` is the (k, B) stack whose
+    LAST row is unused (matches _lanczos_batched's betas[:-1])."""
+    def quad(a_col, b_col):
+        T = (jnp.diag(a_col) + jnp.diag(b_col, 1) + jnp.diag(b_col, -1))
+        w, V = jnp.linalg.eigh(T)
+        w = jnp.maximum(w, 1e-12)
+        return jnp.asarray(float(n), jnp.float32) * jnp.sum(
+            (V[0, :] ** 2) * jnp.log(w))
+
+    vals = jax.vmap(quad, in_axes=(1, 1))(alphas, betas[:-1])
+    return jnp.mean(vals)
 
 
 def slq_logdet_batched(matmat: Callable, n: int, key, probes: int = 16,

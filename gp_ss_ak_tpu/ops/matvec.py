@@ -260,12 +260,38 @@ class MatvecOperator:
         """A @ V for V of shape (n, B): all B columns ride one pass
         over the streamed Gram tiles (B is padded to a multiple of 8
         for sublane alignment)."""
-        V = jnp.asarray(V, jnp.float32)
-        n, b = V.shape
-        bpad = _round_up(b, 8)
-        V2 = jnp.zeros((bpad, self.npad), jnp.float32
-                       ).at[:b, : self.n].set(V.T)
-        Y = _matmat(self.Xt, self.norms, V2, self.scalars,
-                    self.tm, self.tn, self.interpret)[: self.n, :b]
-        return Y + self.bias * jnp.sum(V, axis=0)[None, :] \
-            + self.sn2 * V
+        return streamed_matmat(self.Xt, self.norms, self.scalars,
+                               self.bias, self.sn2, V, self.n,
+                               self.tm, self.tn, self.interpret)
+
+
+def operator_arrays(Xm, sigma, tile: int):
+    """The padded array state of a streamed operator, as a PURE
+    function of (Xm, sigma) — jittable, so a driver can rebuild the
+    operator per hyperparameter setting inside a dispatch and pass the
+    arrays into pre-compiled segment programs (the segmented large-N
+    evaluator, optim/segmented.py) instead of closing over a fresh
+    MatvecOperator (which would retrace every segment per eval).
+    Returns (Xt (dpad, npad), norms (1, npad), scalars (1,))."""
+    Xm = jnp.asarray(Xm, jnp.float32)
+    n, d = Xm.shape
+    npad = _round_up(n, tile)
+    dpad = _round_up(d, 8)
+    Xt = jnp.zeros((dpad, npad), jnp.float32).at[:d, :n].set(Xm.T)
+    norms = jnp.sum(Xt * Xt, axis=0, keepdims=True)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    return Xt, norms, jnp.stack([sigma * sigma])
+
+
+def streamed_matmat(Xt, norms, scalars, bias, sn2, V, n: int,
+                    tm: int, tn: int, interpret: bool):
+    """A @ V through the streaming Gram-tile kernel, as a pure
+    function of the operator arrays (see `operator_arrays`).
+    V (n, B); all B columns ride one pass over the tiles."""
+    V = jnp.asarray(V, jnp.float32)
+    npad = Xt.shape[1]
+    b = V.shape[1]
+    bpad = _round_up(b, 8)
+    V2 = jnp.zeros((bpad, npad), jnp.float32).at[:b, :n].set(V.T)
+    Y = _matmat(Xt, norms, V2, scalars, tm, tn, interpret)[:n, :b]
+    return Y + bias * jnp.sum(V, axis=0)[None, :] + sn2 * V

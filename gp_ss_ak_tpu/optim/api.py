@@ -145,7 +145,18 @@ def fit(
     if eng == "iterative":
         opts = dict(engine_opts or {})
         opts.setdefault("jitter", jitter)
-        vgrad = make_iterative_value_and_grad(model, X, y, **opts)
+        if opts.pop("segmented", False):
+            # bounded-dispatch variant for tunneled/preemptible
+            # workers at huge N (optim/segmented.py); identical
+            # estimator, host-carried solver state
+            from gp_ss_ak_tpu.optim.segmented import (
+                make_segmented_value_and_grad,
+            )
+
+            opts.pop("mode", None)      # segmented is stream-only
+            vgrad = make_segmented_value_and_grad(model, X, y, **opts)
+        else:
+            vgrad = make_iterative_value_and_grad(model, X, y, **opts)
     elif eng == "dense":
         vgrad = make_value_and_grad(model, X, y, jitter)
     else:

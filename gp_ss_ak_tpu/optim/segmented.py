@@ -1,0 +1,217 @@
+"""Segmented matrix-free NLML + gradient: bounded-time dispatches.
+
+The fused evaluator (optim/iterative_fit.py) runs one NLML+grad as ONE
+jitted program; in stream mode that single dispatch is an 800-iteration
+PCG while_loop of full O(N^2) Gram-tile passes — minutes of
+uninterruptible device time at N = 100k. Long monolithic dispatches are
+fragile on tunneled/preemptible workers (the round-3 N=100k ladder rows
+died repeatedly to TPU-worker restarts mid-dispatch) and cannot be
+checkpointed. This driver computes the SAME estimator (same probe keys,
+same math — see test_segmented_matches_fused) as a host loop over
+bounded jit segments, carrying the solver state between dispatches:
+
+  setup     one dispatch: metric map, streamed-operator arrays
+            (ops/matvec.operator_arrays), pivoted Cholesky L,
+            Woodbury + P^(-1/2) spectral pieces.
+  bcg       `seg_iters` PCG iterations per dispatch on [y | Z_grad]
+            (inference.iterative.bcg_init/bcg_segment — the state
+            tuple IS the while_loop carry, so resuming is bit-identical
+            to an uninterrupted solve).
+  slq       `seg_iters` whitened Lanczos steps per dispatch
+            (lanczos_batched_init/segment), quadrature at the end.
+  grad      one dispatch: the chunked Hutchinson/fit-term contraction
+            (_grad_contraction) + metric-map pullback.
+
+Segment programs take the operator arrays as ARGUMENTS, so they
+compile once and are reused for every evaluation of a fit. Each
+dispatch is O(seg_iters) Gram passes (~tens of seconds at N = 100k),
+which a worker watchdog survives and a killed process can redo
+cheaply.
+
+Scaled-up surface: the reference's NLML hot loop (GP_Utils.cpp:872-915,
+1138-1162) at BASELINE config-3 N, on one chip.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_ss_ak_tpu.inference.iterative import (
+    IterativeGP,
+    _grad_contraction,
+    auto_precond_rank,
+    bcg_done,
+    bcg_init,
+    bcg_segment,
+    lanczos_batched_init,
+    lanczos_batched_segment,
+    pivoted_cholesky,
+    precond_sqrt_apply,
+    precond_sqrt_pieces,
+    slq_quadrature,
+    woodbury_apply,
+    woodbury_pieces,
+)
+from gp_ss_ak_tpu.model import GPModel
+from gp_ss_ak_tpu.ops.fused import mapped_points
+from gp_ss_ak_tpu.ops.matvec import operator_arrays, streamed_matmat
+from gp_ss_ak_tpu.ops.pairwise import _on_tpu
+from gp_ss_ak_tpu.optim.iterative_fit import supports_iterative
+
+
+def make_segmented_value_and_grad(
+    model: GPModel,
+    X,
+    y,
+    seed: int = 0,
+    probes: int = 8,
+    lanczos_iters: int = 16,
+    cg_tol: float = 1e-3,
+    cg_maxiter: int = 800,
+    chunk: int = 1024,
+    tm: int = 512,
+    tn: int = 512,
+    interpret=None,
+    jitter: float = 0.0,
+    precond_rank=None,
+    slq_probes: int = 32,
+    seg_iters: int = 16,
+):
+    """Host-callable (f, g) with the fused stream evaluator's contract
+    (same flagship restriction, same fixed probe keys → deterministic
+    objective) but split into bounded dispatches. Defaults mirror
+    benchmarks/large_n.STREAM_OPTS — this driver exists for the
+    N >~ 10^5 regime where those are the operative settings."""
+    if not supports_iterative(model):
+        raise ValueError(
+            "segmented engine supports only Sum([ExpAns, Bias]) + "
+            f"Gaussian likelihood; got {model.kernel!r} / "
+            f"{type(model.likelihood).__name__}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    kernel = model.kernel
+    expans = kernel.children[0]
+    nk = kernel.n_params
+    Xd = jnp.asarray(X, jnp.float32)
+    yd = jnp.asarray(y, jnp.float32)
+    n = Xd.shape[0]
+    tile = max(tm, tn)
+    rank = auto_precond_rank(n) if precond_rank is None else precond_rank
+    if not rank:
+        raise ValueError("segmented driver requires precond_rank > 0")
+    key_logdet, key_trace = jax.random.split(jax.random.PRNGKey(seed))
+    # fixed probes, drawn once — same keys/shapes as the fused path
+    Z_grad = jax.random.rademacher(
+        key_trace, (n, probes), jnp.float32).astype(jnp.float32)
+    Z_slq = jax.random.rademacher(
+        key_logdet, (n, slq_probes), jnp.float32).astype(jnp.float32)
+
+    def _matmat(Xt, norms, scalars, bias, sn2, V):
+        return streamed_matmat(Xt, norms, scalars, bias, sn2, V, n,
+                               tm, tn, interpret)
+
+    @jax.jit
+    def setup_fn(flat):
+        ep, bp = kernel.unpack(flat[:nk])
+        sn2 = flat[nk] + jnp.float32(jitter)
+        sigma, bias = ep["Sigma"], bp["Sigma"]
+        Xm = mapped_points(expans, ep, Xd)
+        Xt, norms, scalars = operator_arrays(Xm, sigma, tile)
+        L = pivoted_cholesky(Xm, sigma, bias, rank)
+        Mchol = woodbury_pieces(L, sn2)
+        Q, inv_eig, logdet_P = precond_sqrt_pieces(L, sn2)
+        state, thresh = bcg_init(
+            jnp.concatenate([yd[:, None], Z_grad], axis=1),
+            lambda v: woodbury_apply(L, Mchol, sn2, v), cg_tol)
+        carry = lanczos_batched_init(Z_slq)
+        return (Xt, norms, scalars, bias, sn2, L, Mchol, Q, inv_eig,
+                logdet_P, state, thresh, carry)
+
+    @jax.jit
+    def bcg_seg_fn(Xt, norms, scalars, bias, sn2, L, Mchol, state,
+                   thresh, it_cap):
+        matmat = functools.partial(_matmat, Xt, norms, scalars, bias,
+                                   sn2)
+        pinv = lambda v: woodbury_apply(L, Mchol, sn2, v)  # noqa: E731
+        return bcg_segment(matmat, pinv, state, thresh, it_cap)
+
+    @jax.jit
+    def bcg_status_fn(state, thresh):
+        return bcg_done(state, thresh), state[5]
+
+    @functools.partial(jax.jit, static_argnums=(8,))
+    def slq_seg_fn(Xt, norms, scalars, bias, sn2, Q, inv_eig, carry,
+                   k_steps):
+        def whitened(V):
+            pv = precond_sqrt_apply(Q, inv_eig, sn2, V)
+            return precond_sqrt_apply(Q, inv_eig, sn2,
+                                      _matmat(Xt, norms, scalars,
+                                              bias, sn2, pv))
+
+        return lanczos_batched_segment(whitened, carry, k_steps)
+
+    @jax.jit
+    def value_fn(alpha, alphas, betas, logdet_P):
+        resid = slq_quadrature(alphas, betas, n)
+        half_logdet = 0.5 * (logdet_P + resid)
+        return 0.5 * jnp.dot(yd, alpha) + half_logdet \
+            + 0.5 * n * math.log(2.0 * math.pi)
+
+    @jax.jit
+    def grad_fn(flat, alpha, ws):
+        ep, bp = kernel.unpack(flat[:nk])
+        sn2 = flat[nk] + jnp.float32(jitter)
+        Xm, pullback = jax.vjp(lambda e: mapped_points(expans, e, Xd),
+                               ep)
+        it_gp = IterativeGP(Xm=Xm, sigma=ep["Sigma"],
+                            bias=bp["Sigma"], sn2=sn2)
+        ds, db, dsn2, dXm = _grad_contraction(it_gp, alpha, ws,
+                                              Z_grad.T, chunk)
+        (d_ep,) = pullback(dXm)
+        d_ep = dict(d_ep)
+        d_ep["Sigma"] = d_ep["Sigma"] + ds
+        g_kernel = kernel.pack((d_ep, {"Sigma": db}))
+        return jnp.concatenate([g_kernel, jnp.reshape(dsn2, (1,))])
+
+    def value_and_grad(x_np: np.ndarray):
+        flat = jnp.asarray(x_np, jnp.float32)
+        (Xt, norms, scalars, bias, sn2, L, Mchol, Q, inv_eig,
+         logdet_P, state, thresh, carry) = setup_fn(flat)
+
+        it = 0
+        while it < cg_maxiter:
+            cap = min(it + seg_iters, cg_maxiter)
+            state = bcg_seg_fn(Xt, norms, scalars, bias, sn2, L,
+                               Mchol, state, thresh, cap)
+            done, it_arr = bcg_status_fn(state, thresh)
+            it = int(it_arr)
+            if bool(done):
+                break
+        sols = state[6]                       # best iterates
+        alpha, ws = sols[:, 0], sols[:, 1:].T
+
+        alphas_parts, betas_parts = [], []
+        k_left = lanczos_iters
+        while k_left > 0:
+            k_step = min(seg_iters, k_left)
+            carry, a_seg, b_seg = slq_seg_fn(
+                Xt, norms, scalars, bias, sn2, Q, inv_eig, carry,
+                k_step)
+            alphas_parts.append(a_seg)
+            betas_parts.append(b_seg)
+            k_left -= k_step
+        alphas = jnp.concatenate(alphas_parts, axis=0)
+        betas = jnp.concatenate(betas_parts, axis=0)
+
+        v = value_fn(alpha, alphas, betas, logdet_P)
+        g = grad_fn(flat, alpha, ws)
+        value_and_grad.last_cg_iters = it
+        return float(v), np.asarray(g, np.float64)
+
+    value_and_grad.last_cg_iters = None
+    return value_and_grad

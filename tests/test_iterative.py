@@ -562,3 +562,47 @@ def test_auto_precond_rank_scales_with_n():
     assert auto_precond_rank(100000) == 1024
     assert auto_precond_rank(10 ** 7) == 1024  # clamped
     assert auto_precond_rank(512) == 64        # floor
+
+
+class TestSegmented:
+    def test_segmented_matches_fused_bitwise(self):
+        """The segmented driver (optim/segmented.py) must be the SAME
+        estimator as the fused stream path — same probe keys, same
+        math — with segment boundaries invisible: the bcg state tuple
+        and Lanczos carry ARE the loop carries, so value, gradient and
+        the iteration count agree to XLA reduction-order noise."""
+        from gp_ss_ak_tpu.optim.iterative_fit import (
+            make_iterative_value_and_grad,
+        )
+        from gp_ss_ak_tpu.optim.segmented import (
+            make_segmented_value_and_grad,
+        )
+
+        model, X, y, _ = setup(n=700)
+        flat = np.asarray(model.pack(), np.float64)
+        opts = dict(seed=0, probes=4, lanczos_iters=10, cg_tol=1e-3,
+                    slq_probes=8, tm=128, tn=128)
+        vg_f = make_iterative_value_and_grad(model, X, y,
+                                             mode="stream", **opts)
+        vg_s = make_segmented_value_and_grad(model, X, y, seg_iters=7,
+                                             **opts)
+        vf, gf = vg_f(flat)
+        vs, gs = vg_s(flat)
+        # identical estimator; differences are XLA reduction-order
+        # noise only (fusion decisions differ between the monolithic
+        # and segmented programs)
+        assert vs == pytest.approx(vf, rel=1e-5)
+        np.testing.assert_allclose(gs, gf, rtol=1e-4, atol=1e-6)
+        assert vg_s.last_cg_iters == vg_f.last_cg_iters
+
+    def test_fit_routes_segmented(self):
+        """fit(engine='iterative', engine_opts={'segmented': True})
+        drives the bounded-dispatch evaluator end-to-end."""
+        from gp_ss_ak_tpu.optim import fit
+
+        model, X, y, _ = setup(n=320)
+        fitted, res = fit(model, X, y, engine="iterative", iters=5,
+                          engine_opts=dict(segmented=True, tm=128,
+                                           tn=128, seg_iters=5))
+        assert np.isfinite(res.fun)
+        assert res.trace[-1] <= res.trace[0]
