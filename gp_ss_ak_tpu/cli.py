@@ -72,6 +72,11 @@ def _build_parser() -> argparse.ArgumentParser:
                          "path over every visible device; 'ring' = "
                          "panel-free ppermute ring route; or auto by "
                          "data size")
+    tr.add_argument("--segmented", action="store_true",
+                    help="with --engine iterative: run the stream "
+                         "evaluator as bounded-time dispatches "
+                         "(optim/segmented.py) — for huge N on "
+                         "tunneled/preemptible workers")
     tr.add_argument("--float64", action="store_true",
                     help="fit in float64 (CPU backends; ignored by "
                          "the iterative engine, which is float32-only)")
@@ -190,9 +195,11 @@ def cmd_train(args) -> int:
                 model, Xs, ys, mesh, iters=args.iters, callback=logger,
                 verbose=max(0, args.verbose - 1))
     else:
+        engine_opts = (dict(segmented=True)
+                       if getattr(args, "segmented", False) else None)
         fitted, res = fit(model, Xs, ys, optimizer=args.optimiser,
                           iters=args.iters, callback=logger,
-                          engine=engine)
+                          engine=engine, engine_opts=engine_opts)
     logger.save()
     if args.verbose > 0:
         print(f"-logL: {res.trace[0]:.6f} -> {res.fun:.6f} "

@@ -160,3 +160,24 @@ class TestDistributedEngines:
         mse, var = float(out[-2]), float(out[-1])
         assert np.isfinite(mse)
         assert mse < var  # trained model beats the mean predictor
+
+
+class TestSegmentedEngine:
+    def test_train_then_test_segmented(self, dataset, capsys):
+        """--engine iterative --segmented routes the train command
+        through the bounded-dispatch evaluator (optim/segmented.py)
+        and still produces reference-format artifacts."""
+        train, test, tmp = dataset
+        model = str(tmp / "m_seg")
+        rc = main(["-pm", "1", "train", "-#", "6",
+                   "--engine", "iterative", "--segmented",
+                   train, model])
+        assert rc == 0
+        assert os.path.exists(model)
+        capsys.readouterr()
+        rc = main(["test", "--no-plot", test, model, train])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        mse, var = float(out[-2]), float(out[-1])
+        assert np.isfinite(mse)
+        assert mse < var
