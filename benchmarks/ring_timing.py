@@ -96,12 +96,20 @@ def main():
     if os.path.exists(RESULTS):
         with open(RESULTS) as fh:
             data = json.load(fh)
+    # merge by n: latest successful row wins; rows from previous runs
+    # at sizes this invocation didn't touch are kept
+    prev = {r["n"]: r for r in data.get("ring_nlml_tpu", {}).get("rows", [])
+            if "n" in r}
+    for r in rows:
+        if "n" in r and ("error" not in r
+                         or "error" in prev.get(r["n"], {"error": True})):
+            prev[r["n"]] = r
     data["ring_nlml_tpu"] = {
         "backend": jax.default_backend(),
         "note": ("1-device shard_map ring program, chain-timed; "
                  "per-device compute of the ring schedule — ICI "
                  "volume is in results.json['comm_volume']"),
-        "rows": rows,
+        "rows": [prev[k] for k in sorted(prev)],
         "ts": time.strftime("%F %T"),
     }
     with open(RESULTS, "w") as fh:

@@ -10,6 +10,7 @@ solve, both streaming at memory bandwidth for large N.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -82,3 +83,200 @@ class Predictor:
             mus.append(np.asarray(mu)[:take])
             vars_.append(np.asarray(var)[:take])
         return np.concatenate(mus), np.concatenate(vars_)
+
+
+class IterativePredictor:
+    """Matrix-free posterior server: K(X, X) is NEVER materialized.
+
+    The dense `Predictor` factorizes the full training Gram — its
+    memory wall (A + L = 8 N^2 bytes) caps it at N ~ 32k on a 16 GB
+    chip, which is exactly where the matrix-free training engine
+    (optim/iterative_fit.py) starts to matter. This server extends the
+    reference's posteriorMeanVar contract (GP_Utils.cpp:943-1043) past
+    that wall with the same pieces the training engine runs on:
+
+      setup  alpha = A^-1 y by preconditioned batched CG over the
+             streamed Pallas Gram operator (ops/matvec.py) with the
+             rank-k pivoted-Cholesky/Woodbury preconditioner —
+             one-time cost, alpha stays on device.
+      mean   mu = k*' alpha + bias * sum(alpha): one chunked
+             cross-kernel pass per query batch, O(N M d) — no solves.
+      var    sigma^2 = (s^2 + bias) - k*' A^-1 k* + sn2: one batched
+             PCG solve per query batch (all M columns ride each
+             streamed Gram pass), clamped >= 0 BEFORE the noise add —
+             the reference's order (GP_Utils.cpp:1002-1041).
+
+    Flagship model only (Sum([ExpAns, Bias]) + Gaussian), like the
+    training engine. `mean_only` callers (e.g. large-N MSE reports)
+    never pay for solves after setup.
+    """
+
+    def __init__(self, model: GPModel, X, y, precond_rank=None,
+                 cg_tol: float = 1e-4, cg_maxiter: int = 800,
+                 tm: int = 512, tn: int = 512, chunk: int = 4096,
+                 interpret: Optional[bool] = None):
+        from gp_ss_ak_tpu.inference.iterative import (
+            auto_precond_rank,
+            bcg_solve,
+            pivoted_cholesky,
+            woodbury_preconditioner,
+        )
+        from gp_ss_ak_tpu.kernels.distance import pad_to_3d
+        from gp_ss_ak_tpu.ops.matvec import (
+            operator_arrays,
+            streamed_matmat,
+        )
+        from gp_ss_ak_tpu.ops.pairwise import _on_tpu, _round_up
+        from gp_ss_ak_tpu.optim.iterative_fit import supports_iterative
+
+        if not supports_iterative(model):
+            raise ValueError(
+                "IterativePredictor supports only Sum([ExpAns, Bias]) "
+                f"+ Gaussian likelihood; got {model.kernel!r} / "
+                f"{type(model.likelihood).__name__}")
+        if interpret is None:
+            interpret = not _on_tpu()
+        self.model = model
+        ep, bp = model.kernel_params
+        expans = model.kernel.children[0]
+        Xd = jnp.asarray(X, jnp.float32)
+        yd = jnp.asarray(y, jnp.float32)
+        n = Xd.shape[0]
+        self.n = n
+        self.cg_tol = cg_tol
+        self.cg_maxiter = cg_maxiter
+        rank = auto_precond_rank(n) if precond_rank is None \
+            else precond_rank
+        self.precond_rank = rank
+        tile = max(tm, tn)
+
+        # same mapping convention as training (ops/fused.mapped_points):
+        # recentre by the TRAIN mean, map through M — distances are
+        # translation invariant, so queries share c and M
+        Xp = pad_to_3d(Xd)
+        c = jnp.mean(Xp, axis=0)
+        M = expans.metric(ep, Xp.shape[-1])
+        prec = jax.lax.Precision.HIGHEST
+        Xm = jnp.matmul(Xp - c, M, precision=prec)
+        self._c, self._M = c, M
+        self._pad_to_3d = pad_to_3d
+        sigma, bias = ep["Sigma"], bp["Sigma"]
+        sn2 = jnp.asarray(model.lik_hypers, jnp.float32).reshape(-1)[0]
+        self.s2 = sigma * sigma
+        self.bias = bias
+        self.sn2 = sn2
+
+        Xt, norms, scalars = operator_arrays(Xm, sigma, tile)
+        self._opargs = (Xt, norms, scalars, bias, sn2)
+
+        def matmat(V):
+            return streamed_matmat(Xt, norms, scalars, bias, sn2, V,
+                                   n, tm, tn, interpret)
+
+        self._matmat = matmat
+        pinv = None
+        if rank:
+            L = pivoted_cholesky(Xm, sigma, bias, rank)
+            pinv = woodbury_preconditioner(L, sn2)
+        self._pinv = pinv
+        alpha, it = bcg_solve(matmat, yd[:, None], pinv, tol=cg_tol,
+                              maxiter=cg_maxiter)
+        self.alpha = jax.block_until_ready(alpha[:, 0])
+        self.setup_cg_iters = int(it)
+        self._bcg_solve = bcg_solve
+
+        # chunk-padded train points + alpha for the cross-kernel passes
+        npad = _round_up(n, chunk)
+        self._chunk = chunk
+        self._Xm_pad = jnp.zeros((npad, Xm.shape[1]),
+                                 jnp.float32).at[:n].set(Xm)
+        self._alpha_pad = jnp.zeros((npad,),
+                                    jnp.float32).at[:n].set(self.alpha)
+        self._n_chunks = npad // chunk
+        self.last_cg_iters = None
+
+    def _map_queries(self, Xs):
+        Xsp = self._pad_to_3d(jnp.asarray(Xs, jnp.float32))
+        return jnp.matmul(Xsp - self._c, self._M,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    @functools.cached_property
+    def _mean_fn(self):
+        from gp_ss_ak_tpu.kernels.distance import gram_sqdist
+
+        chunk, n_chunks = self._chunk, self._n_chunks
+        Xm_pad, alpha_pad = self._Xm_pad, self._alpha_pad
+        s2 = self.s2
+
+        @jax.jit
+        def mean(Xsm):
+            def one(ci):
+                rows = jax.lax.dynamic_slice_in_dim(
+                    Xm_pad, ci * chunk, chunk)
+                a = jax.lax.dynamic_slice_in_dim(
+                    alpha_pad, ci * chunk, chunk)
+                d2 = gram_sqdist(rows, Xsm)
+                k = s2 * jnp.exp(-jnp.sqrt(jnp.maximum(d2, 0.0)))
+                return k.T @ a                      # (B,)
+
+            parts = jax.lax.map(one, jnp.arange(n_chunks))
+            # bias is rank-1: bias * sum(alpha) per query
+            return jnp.sum(parts, axis=0) \
+                + self.bias * jnp.sum(alpha_pad)
+
+        return mean
+
+    @functools.cached_property
+    def _cross_fn(self):
+        """k*(X_train, X_batch) as a full (n, B) array, chunk-built."""
+        from gp_ss_ak_tpu.kernels.distance import gram_sqdist
+
+        chunk, n_chunks = self._chunk, self._n_chunks
+        Xm_pad = self._Xm_pad
+        s2, bias, n = self.s2, self.bias, self.n
+
+        @jax.jit
+        def cross(Xsm):
+            def one(ci):
+                rows = jax.lax.dynamic_slice_in_dim(
+                    Xm_pad, ci * chunk, chunk)
+                d2 = gram_sqdist(rows, Xsm)
+                return s2 * jnp.exp(-jnp.sqrt(jnp.maximum(d2, 0.0))) \
+                    + bias
+
+            parts = jax.lax.map(one, jnp.arange(n_chunks))
+            return parts.reshape(n_chunks * chunk, -1)[:n]
+
+        return cross
+
+    def _var_batch(self, Xsm):
+        kx = self._cross_fn(Xsm)                     # (n, B)
+        W, it = self._bcg_solve(self._matmat, kx, self._pinv,
+                                tol=self.cg_tol,
+                                maxiter=self.cg_maxiter)
+        self.last_cg_iters = int(it)
+        kss = self.s2 + self.bias                    # k(x*, x*)
+        var = kss - jnp.sum(kx * W, axis=0)
+        # clamp BEFORE the noise add — reference order,
+        # GP_Utils.cpp:1002-1041
+        return jnp.maximum(var, 0.0) + self.sn2
+
+    def __call__(self, Xstar, batch_size: int = 4096,
+                 mean_only: bool = False
+                 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        Xs = np.asarray(Xstar)
+        m = Xs.shape[0]
+        mus, vars_ = [], []
+        for start in range(0, m, batch_size):
+            chunk = Xs[start : start + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:     # fixed shapes: one compiled program per size
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            Xsm = self._map_queries(chunk)
+            take = batch_size - pad
+            mus.append(np.asarray(self._mean_fn(Xsm))[:take])
+            if not mean_only:
+                vars_.append(np.asarray(self._var_batch(Xsm))[:take])
+        mu = np.concatenate(mus)
+        return mu, (None if mean_only else np.concatenate(vars_))

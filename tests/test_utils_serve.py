@@ -140,3 +140,67 @@ def test_predictor_precomputed_inverse_matches_solve():
     # auto mode precomputes at moderate n
     auto = Predictor(model, X, y)
     assert auto.post.linv is not None
+
+
+class TestIterativePredictor:
+    """Matrix-free server vs the dense Predictor (same model, same
+    data): posterior mean/variance must agree to CG tolerance."""
+
+    def make(self, n=384):
+        rng = np.random.default_rng(7)
+        X = rng.uniform(-1, 1, (n, 3))
+        y = np.sin(X @ np.array([3.0, 1.0, 2.0]))
+        model = default_model(input_dim=3, dtype=jnp.float32)
+        return model, X, y
+
+    def test_matches_dense_predictor(self):
+        from gp_ss_ak_tpu.serve import IterativePredictor
+
+        model, X, y = self.make()
+        Xs = np.random.default_rng(8).uniform(-1, 1, (64, 3))
+        dense = Predictor(model, X, y)
+        it = IterativePredictor(model, X, y, precond_rank=64,
+                                cg_tol=1e-6, chunk=128)
+        mu_d, var_d = dense(Xs)
+        mu_i, var_i = it(Xs, batch_size=64)
+        np.testing.assert_allclose(mu_i, mu_d, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(var_i, var_d, rtol=5e-3, atol=5e-4)
+        assert it.setup_cg_iters > 0
+        assert it.last_cg_iters > 0
+
+    def test_mean_only_and_batching(self):
+        from gp_ss_ak_tpu.serve import IterativePredictor
+
+        model, X, y = self.make(256)
+        Xs = np.random.default_rng(9).uniform(-1, 1, (70, 3))
+        it = IterativePredictor(model, X, y, precond_rank=32,
+                                cg_tol=1e-6, chunk=128)
+        mu1, var1 = it(Xs, batch_size=32)       # padded tail batch
+        mu2, none = it(Xs, batch_size=128, mean_only=True)
+        assert none is None
+        np.testing.assert_allclose(mu1, mu2, rtol=1e-5, atol=1e-6)
+        assert var1.shape == (70,)
+
+    def test_train_points_reproduce_targets(self):
+        # with tiny noise the posterior mean at train points ~ y
+        from dataclasses import replace
+
+        from gp_ss_ak_tpu.serve import IterativePredictor
+
+        model, X, y = self.make(256)
+        model = replace(model, lik_hypers=jnp.asarray([1e-3], jnp.float32))
+        it = IterativePredictor(model, X, y, precond_rank=64,
+                                cg_tol=1e-7, chunk=128)
+        mu, _ = it(X[:50], batch_size=64, mean_only=True)
+        np.testing.assert_allclose(mu, y[:50], atol=5e-2)
+
+    def test_rejects_non_flagship(self):
+        import pytest
+
+        from gp_ss_ak_tpu.model import default_model as dm
+        from gp_ss_ak_tpu.serve import IterativePredictor
+
+        model = dm(3, kernel_names=["RBF"])
+        X = np.zeros((8, 3))
+        with pytest.raises(ValueError):
+            IterativePredictor(model, X, np.zeros(8))
