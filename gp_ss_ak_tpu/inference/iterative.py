@@ -265,11 +265,20 @@ def bcg_init(B_rhs: jnp.ndarray, pinv=None, tol: float = 1e-5):
     return state, thresh
 
 
+def _stall_iters(pinv) -> int:
+    """Stall window: unpreconditioned CG residuals are non-monotone
+    with plateau-then-drop phases that can exceed the preconditioned
+    window (ADVICE r3, iterative.py:159) — give plain CG 4x the
+    patience before declaring the f32 floor reached."""
+    return BCG_STALL_ITERS if pinv is not None else 4 * BCG_STALL_ITERS
+
+
 def bcg_segment(matmat: Callable, pinv, state, thresh, it_cap: int):
     """Advance the batched-PCG state until convergence/stall or the
     ABSOLUTE iteration count reaches `it_cap`. Returns the new state;
     pass it back in with a larger cap to resume — bit-identical to one
     uninterrupted loop, since the state tuple is the loop carry."""
+    stall_cap = _stall_iters(pinv)
     def _active(R):
         # a column stays active while its residual is finite and above
         # tolerance; a non-finite residual (CG divergence over a noisy
@@ -283,7 +292,7 @@ def bcg_segment(matmat: Callable, pinv, state, thresh, it_cap: int):
     def cond(state):
         _X, R, _Z, _P, _rz, it, _Xb, _rb, stall = state
         return jnp.any(_active(R)) & (it < it_cap) \
-            & (stall < BCG_STALL_ITERS)
+            & (stall < stall_cap)
 
     def body(state):
         X, R, Z, P, rz, it, Xbest, rn_best, stall = state
@@ -314,13 +323,36 @@ def bcg_segment(matmat: Callable, pinv, state, thresh, it_cap: int):
     return lax.while_loop(cond, body, state)
 
 
-def bcg_done(state, thresh) -> jnp.ndarray:
+def bcg_done(state, thresh, pinv=True) -> jnp.ndarray:
     """True when the PCG state has converged or stalled (resuming with
-    a larger cap would do nothing). Matches bcg_segment's cond."""
+    a larger cap would do nothing). Matches bcg_segment's cond; pass
+    pinv=None for an unpreconditioned solve's longer stall window."""
     _X, R, _Z, _P, _rz, _it, _Xb, _rb, stall = state
     rn = jnp.sum(R * R, axis=0)
     still = jnp.any((rn > thresh) & jnp.isfinite(rn))
-    return (~still) | (stall >= BCG_STALL_ITERS)
+    return (~still) | (stall >= _stall_iters(pinv))
+
+
+def bcg_rel_residual(state, thresh, tol: float) -> jnp.ndarray:
+    """Worst-column achieved RELATIVE residual ||r||/||b|| of a
+    batched-PCG state (thresh = tol^2 ||b||^2 per column, so the rhs
+    norms are recoverable without carrying them separately). The
+    honest convergence record for eval rows: cg_iters == maxiter alone
+    cannot distinguish 'diverged' from 'one decade short'."""
+    rn_best = state[7]
+    rn0 = thresh / (tol * tol)
+    rel2 = jnp.where(rn0 > 0, rn_best / jnp.where(rn0 > 0, rn0, 1.0), 0.0)
+    return jnp.sqrt(jnp.max(rel2))
+
+
+def bcg_solve_info(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
+                   tol: float = 1e-5, maxiter: int = 500):
+    """`bcg_solve` + the achieved worst-column relative residual.
+    Returns (X (n,B), n_iters, rel_residual)."""
+    state, thresh = bcg_init(B_rhs, pinv, tol)
+    state = bcg_segment(matmat, pinv, state, thresh, maxiter)
+    _X, R, _Z, _P, _rz, it, Xbest, _rb, _st = state
+    return Xbest, it, bcg_rel_residual(state, thresh, tol)
 
 
 def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
@@ -858,13 +890,17 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
     CG+SLQ flow at GEMM speed; "stream" never materializes. "auto"
     resolves by N against the 16 GB-chip thresholds.
 
-    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters)."""
+    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters,
+    rel_residual) — rel_residual is the worst-column achieved
+    ||r||/||b|| of the solve (0.0 on the exact chol path)."""
     y = jnp.asarray(y, jnp.float32)
     n = y.shape[0]
     mode = choose_mode(n, mode)
     if mode == "chol":
-        return nlml_and_grad_chol(it_gp, y, key_trace, probes=probes,
-                                  chunk=chunk, interpret=interpret)
+        val, grads, it = nlml_and_grad_chol(
+            it_gp, y, key_trace, probes=probes, chunk=chunk,
+            interpret=interpret)
+        return val, grads, it, jnp.asarray(0.0, jnp.float32)
     op = _flagship_operator(it_gp, tm, tn, interpret, mode=mode)
     cg_tol = _effective_cg_tol(cg_tol, mode)
     L = _pivchol(it_gp, precond_rank)
@@ -872,14 +908,14 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
         key_trace, (n, probes), jnp.float32).astype(jnp.float32)
     rhs = jnp.concatenate([y[:, None], Z], axis=1)
     if L is None:
-        sols, it = bcg_solve(op.matmat, rhs, None, tol=cg_tol,
-                             maxiter=cg_maxiter)
+        sols, it, rel = bcg_solve_info(op.matmat, rhs, None, tol=cg_tol,
+                                       maxiter=cg_maxiter)
         half_logdet = 0.5 * slq_logdet_batched(
             op.matmat, n, key_logdet, slq_probes, lanczos_iters)
     else:
         pinv = woodbury_preconditioner(L, it_gp.sn2)
-        sols, it = bcg_solve(op.matmat, rhs, pinv, tol=cg_tol,
-                             maxiter=cg_maxiter)
+        sols, it, rel = bcg_solve_info(op.matmat, rhs, pinv, tol=cg_tol,
+                                       maxiter=cg_maxiter)
         half_logdet = 0.5 * slq_logdet_preconditioned(
             op.matmat, L, it_gp.sn2, n, key_logdet, slq_probes,
             lanczos_iters)
@@ -887,4 +923,4 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
     val = 0.5 * jnp.dot(y, alpha) + half_logdet \
         + 0.5 * n * math.log(2.0 * math.pi)
     grads = _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
-    return val, grads, it
+    return val, grads, it, rel

@@ -85,6 +85,7 @@ def fit(
     resume: bool = True,
     engine: str = "auto",
     engine_opts: Optional[dict] = None,
+    timing: Optional[dict] = None,
 ) -> Tuple[GPModel, OptResult]:
     """Maximize the marginal likelihood over the box [1e-4, 6]^p.
 
@@ -101,6 +102,11 @@ def fit(
     `checkpoint_every` iterations and (if `resume`) restored as the
     starting point on the next call — the reference's hypers-only
     checkpoint philosophy applied mid-run (utils/checkpoint.py).
+
+    Pass a dict as `timing` to receive a per-evaluation wall-clock
+    breakdown: {"n_evals", "eval_s" (list, first entry includes
+    compile), "eval_s_sum", "eval_s_steady_median"} — enough to
+    attribute fit_wall = compile + evals x eval_ms + host overhead.
     """
     x0 = np.asarray(model.pack(), np.float64)
     if checkpoint_path:
@@ -142,6 +148,14 @@ def fit(
                 "(no TPU backend or unsupported model); expect large "
                 "memory/compile cost — pass engine='iterative' to force "
                 "the matrix-free route", stacklevel=2)
+    if eng != "iterative" and (engine_opts or {}).get("segmented"):
+        import warnings
+
+        warnings.warn(
+            f"segmented=True is only honoured by the iterative engine; "
+            f"the resolved engine is '{eng}' and the fit will run "
+            "un-segmented (pass engine='iterative' to force it)",
+            stacklevel=2)
     if eng == "iterative":
         opts = dict(engine_opts or {})
         opts.setdefault("jitter", jitter)
@@ -153,7 +167,11 @@ def fit(
                 make_segmented_value_and_grad,
             )
 
-            opts.pop("mode", None)      # segmented is stream-only
+            mode = opts.pop("mode", None)   # segmented is stream-only
+            if mode not in (None, "auto", "stream"):
+                raise ValueError(
+                    f"segmented=True is stream-only; drop mode={mode!r} "
+                    "or run un-segmented")
             vgrad = make_segmented_value_and_grad(model, X, y, **opts)
         else:
             vgrad = make_iterative_value_and_grad(model, X, y, **opts)
@@ -161,6 +179,24 @@ def fit(
         vgrad = make_value_and_grad(model, X, y, jitter)
     else:
         raise ValueError(f"Unrecognised engine: {engine}")
+
+    if timing is not None and eng in ("iterative", "dense"):
+        import time as _time
+
+        inner_vgrad = vgrad
+        walls: list = []
+
+        def vgrad(x):  # noqa: F811 - deliberate instrumentation wrap
+            t0 = _time.perf_counter()
+            out = inner_vgrad(x)
+            walls.append(_time.perf_counter() - t0)
+            return out
+
+        for attr in ("last_cg_iters", "last_rel_residual"):
+            if hasattr(inner_vgrad, attr):
+                # keep the inner closure reachable for diagnostics
+                vgrad.inner = inner_vgrad
+        timing["eval_s"] = walls
 
     name = optimizer.upper()
     if eng == "iterative" and name in ("JIT", "LBFGS-JIT", "DEVICE"):
@@ -199,6 +235,13 @@ def fit(
         else:
             raise ValueError(f"Unrecognised optimiser type: {optimizer}")
         res = opt.minimize(vgrad, x0, lb, ub, callback=callback)
+    if timing is not None and timing.get("eval_s"):
+        walls = timing["eval_s"]
+        steady = walls[1:] or walls
+        timing["n_evals"] = len(walls)
+        timing["eval_s_sum"] = float(np.sum(walls))
+        timing["eval_s_first"] = float(walls[0])
+        timing["eval_s_steady_median"] = float(np.median(steady))
     fitted = model.unpack(jnp.asarray(res.x, jnp.result_type(model.pack())))
     fitted = replace(fitted, num_data=int(np.shape(X)[0]),
                      input_dim=int(np.shape(X)[1]))

@@ -96,7 +96,7 @@ def make_iterative_value_and_grad(
         Xm, pullback = jax.vjp(lambda e: mapped_points(expans, e, Xd), ep)
         it_gp = IterativeGP(Xm=Xm, sigma=ep["Sigma"], bias=bp["Sigma"],
                             sn2=sn2)
-        val, (ds, db, dsn2, dXm), cg_it = nlml_and_grad_iterative(
+        val, (ds, db, dsn2, dXm), cg_it, rel = nlml_and_grad_iterative(
             it_gp, yd, key_logdet, key_trace, cg_tol=cg_tol,
             cg_maxiter=cg_maxiter, probes=probes,
             lanczos_iters=lanczos_iters, chunk=chunk, tm=tm, tn=tn,
@@ -107,14 +107,21 @@ def make_iterative_value_and_grad(
         d_ep["Sigma"] = d_ep["Sigma"] + ds
         g_kernel = kernel.pack((d_ep, {"Sigma": db}))
         g = jnp.concatenate([g_kernel, jnp.reshape(dsn2, (1,))])
-        return val, g, cg_it
+        return val, g, cg_it, rel
 
     jitted = jax.jit(vg)
 
     def value_and_grad(x_np: np.ndarray):
-        v, g, it = jitted(jnp.asarray(x_np, jnp.float32))
+        v, g, it, rel = jitted(jnp.asarray(x_np, jnp.float32))
         value_and_grad.last_cg_iters = int(it)
+        value_and_grad.last_rel_residual = float(rel)
         return float(v), np.asarray(g, np.float64)
 
+    from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
+
     value_and_grad.last_cg_iters = None
+    value_and_grad.last_rel_residual = None
+    value_and_grad.precond_rank = (
+        auto_precond_rank(Xd.shape[0]) if precond_rank is None
+        else precond_rank)
     return value_and_grad

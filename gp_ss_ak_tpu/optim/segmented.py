@@ -47,6 +47,7 @@ from gp_ss_ak_tpu.inference.iterative import (
     auto_precond_rank,
     bcg_done,
     bcg_init,
+    bcg_rel_residual,
     bcg_segment,
     lanczos_batched_init,
     lanczos_batched_segment,
@@ -142,7 +143,8 @@ def make_segmented_value_and_grad(
 
     @jax.jit
     def bcg_status_fn(state, thresh):
-        return bcg_done(state, thresh), state[5]
+        return (bcg_done(state, thresh), state[5],
+                bcg_rel_residual(state, thresh, cg_tol))
 
     @functools.partial(jax.jit, static_argnums=(8,))
     def slq_seg_fn(Xt, norms, scalars, bias, sn2, Q, inv_eig, carry,
@@ -184,12 +186,14 @@ def make_segmented_value_and_grad(
          logdet_P, state, thresh, carry) = setup_fn(flat)
 
         it = 0
+        rel = None
         while it < cg_maxiter:
             cap = min(it + seg_iters, cg_maxiter)
             state = bcg_seg_fn(Xt, norms, scalars, bias, sn2, L,
                                Mchol, state, thresh, cap)
-            done, it_arr = bcg_status_fn(state, thresh)
+            done, it_arr, rel_arr = bcg_status_fn(state, thresh)
             it = int(it_arr)
+            rel = float(rel_arr)
             if bool(done):
                 break
         sols = state[6]                       # best iterates
@@ -211,7 +215,10 @@ def make_segmented_value_and_grad(
         v = value_fn(alpha, alphas, betas, logdet_P)
         g = grad_fn(flat, alpha, ws)
         value_and_grad.last_cg_iters = it
+        value_and_grad.last_rel_residual = rel
         return float(v), np.asarray(g, np.float64)
 
     value_and_grad.last_cg_iters = None
+    value_and_grad.last_rel_residual = None
+    value_and_grad.precond_rank = rank
     return value_and_grad

@@ -467,7 +467,14 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
     Probe keys are FIXED, so optimizers see a deterministic
     self-consistent objective (same contract as optim/iterative_fit).
     Flagship Sum([ExpAns, Bias]) + Gaussian only. Returns jitted
-    (flat, X_pad, y_pad) -> (value, grad)."""
+    (flat, X_pad, y_pad) -> (value, grad).
+
+    NOTE (since r3): `precond_rank=None` resolves to the N-scaled
+    `auto_precond_rank(n)` = min(1024, n//48) — previously a fixed 64.
+    The rank-k factor L and its spectral pieces are ~2 x 4 n k bytes of
+    resident state per device group; on HBM-tight meshes pass
+    `precond_rank=64` explicitly to keep the old footprint (applies to
+    the two-level and predict variants below as well)."""
     from gp_ss_ak_tpu.ops.fused import _is_flagship
 
     if not _is_flagship(kernel):

@@ -254,7 +254,7 @@ class TestFusedValueAndGrad:
         # slq_probes pinned to the separate path's probe count so the
         # two logdet estimators see identical Rademacher draws;
         # mode pinned to the streamed operator (the separate-call path)
-        val_f, grads_f, _ = nlml_and_grad_iterative(
+        val_f, grads_f, _, _rel = nlml_and_grad_iterative(
             it_gp, y, k1, k2, chunk=128, slq_probes=8, mode="stream",
             **kw)
         val_s, alpha, _ = nlml_iterative(it_gp, y, k1, mode="stream",
@@ -352,9 +352,9 @@ class TestMaterializedModes:
         kw = dict(cg_tol=1e-6, cg_maxiter=2000, probes=8,
                   lanczos_iters=24, precond_rank=48, tm=128, tn=128,
                   chunk=128, slq_probes=8)
-        v_g, g_g, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
+        v_g, g_g, _, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
                                               mode="gemm", **kw)
-        v_s, g_s, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
+        v_s, g_s, _, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
                                               mode="stream", **kw)
         assert float(v_g) == pytest.approx(float(v_s), rel=1e-4,
                                            abs=0.05)
