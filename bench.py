@@ -251,6 +251,41 @@ def _recorded_story():
         out["fit_32768"] = {k: ln["fit"].get(k) for k in
                             ("iters", "fit_wall_s", "nlml_final",
                              "holdout_mse") if k in ln["fit"]}
+    for key, label in (("fit_65536", "fit_65536"),
+                       ("fit_100000", "fit_100000")):
+        blk = ln.get(key) or {}
+        if blk and "error" not in blk:
+            out[label] = {k: blk.get(k) for k in
+                          ("iters", "evals", "fit_wall_s", "nlml_start",
+                           "nlml_final", "train_mse", "holdout_mse",
+                           "eval_s_steady_median")
+                          if k in blk}
+    st = data.get("stream_tuning") or {}
+    strows = [r for r in st.get("rows", []) if "eval_s" in r]
+    if strows:
+        out["stream_tuning_best"] = {
+            str(r["n"]): {"rank": r["precond_rank"],
+                          "eval_s": r["eval_s"],
+                          "cg_iters": r["cg_iters"],
+                          "rel_res": r.get("cg_rel_residual")}
+            for r in sorted(strows, key=lambda r: r["eval_s"])[:3]}
+    ba = data.get("bayes_at_scale_n16384") or {}
+    if ba.get("hmc"):
+        out["bayes_n16384_s_per_leapfrog"] = \
+            ba["hmc"].get("s_per_leapfrog")
+        out["bayes_n16384_accept"] = ba["hmc"].get("mean_accept")
+    sp = data.get("scaling_projection") or {}
+    sprows = [r for r in sp.get("rows", [])
+              if r.get("route") == "ring" and r.get("devices") == 8]
+    if sprows:
+        out["ring_projected_eff_p8"] = {
+            str(r["n"]): r["efficiency"] for r in sprows}
+    for nt in (16384, 32768):
+        blk = data.get(f"serving_batch_sweep_n{nt}") or {}
+        rows2 = [r for r in blk.get("rows", []) if r.get("preds_per_s")]
+        if rows2:
+            best2 = max(rows2, key=lambda r: r["preds_per_s"])
+            out[f"serve_pred_per_s_n{nt}"] = best2["preds_per_s"]
     ab = data.get("dist_grad_ab_n8192_tpu") or {}
     hu = ab.get("hutchinson32") or {}
     if hu.get("speedup_vs_exact"):

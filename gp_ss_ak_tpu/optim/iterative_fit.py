@@ -119,6 +119,10 @@ def make_iterative_value_and_grad(
 
     from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
 
+    # traceable (flat) -> (value, grad): the hook contract
+    # bayes.sample_hyperposterior's nlml_value_and_grad expects — lets
+    # HMC/NUTS run every leapfrog through the matrix-free engine
+    value_and_grad.traceable = lambda flat: vg(flat)[:2]
     value_and_grad.last_cg_iters = None
     value_and_grad.last_rel_residual = None
     value_and_grad.precond_rank = (
