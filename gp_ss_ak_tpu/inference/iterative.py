@@ -109,7 +109,15 @@ def pivoted_cholesky(Xm: jnp.ndarray, sigma, bias, rank: int):
         i = jnp.argmax(d)
         c = column(i)
         Li = jnp.take(L, i, axis=0)                         # (rank,)
-        l = (c - L @ Li) / jnp.sqrt(jnp.maximum(d[i], 1e-30))
+        # HIGHEST precision is load-bearing: on TPU the default bf16
+        # matmul's absolute error (~0.004 sqrt(k)) lands inside the
+        # cancellation c - L Li and is then amplified by the shrinking
+        # pivot 1/sqrt(d_i) — at rank >= ~512 the later columns come
+        # out garbage, and the resulting P = L L^T + sn2 I (still SPD)
+        # has huge spurious eigenvalues that floor PCG at 1e-1-ish
+        # relative residuals (the round-3 65k/100k stall wall)
+        l = (c - jnp.matmul(L, Li, precision=jax.lax.Precision.HIGHEST)) \
+            / jnp.sqrt(jnp.maximum(d[i], 1e-30))
         l = jnp.where(d[i] > 1e-30, l, jnp.zeros_like(l))
         L = L.at[:, j].set(l)
         d = jnp.maximum(d - l * l, 0.0)
@@ -355,6 +363,39 @@ def bcg_solve_info(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
     return Xbest, it, bcg_rel_residual(state, thresh, tol)
 
 
+def whitened_solve_info(op_matmat: Callable, L: jnp.ndarray, sn2,
+                        B_rhs: jnp.ndarray, tol: float = 1e-4,
+                        maxiter: int = 500):
+    """Solve A X = B by PLAIN batched CG on the explicitly whitened
+    operator A~ = P^(-1/2) A P^(-1/2), with P = L L^T + sn2 I the
+    rank-k pivoted-Cholesky preconditioner.
+
+    Mathematically identical to PCG with P — numerically NOT: the
+    implicit PCG recurrence (cross inner products r'z with z = P^-1 r)
+    breaks down in f32 at the flagship conditioning (kappa(A) ~
+    lambda_1/sn2 ~ 10^6 at N ~ 10^5): measured at N=65536/rank 1024,
+    PCG oscillated at 0.2 relative residual for 800 iterations
+    (restarts included) on instances where this whitened solve
+    converges in 58. CG here runs on kappa(A~) ~ (lambda_k + sn2)/sn2
+    ~ O(100) — comfortably inside f32's stability envelope — and the
+    whitened residual is the natural norm for the NLML quadratic form
+    (value error ~ ||r~||^2 / lambda_min(A~)).
+
+    Returns (X, iters, rel_whitened, logdet_P, wmm) — `wmm` is the
+    whitened matmat closure, reusable for the variance-reduced SLQ
+    (the same operator it always ran on)."""
+    Q, ise, logdet_P = precond_sqrt_pieces(L, sn2)
+
+    def wmm(V):
+        return precond_sqrt_apply(
+            Q, ise, sn2, op_matmat(precond_sqrt_apply(Q, ise, sn2, V)))
+
+    Bt = precond_sqrt_apply(Q, ise, sn2, B_rhs)
+    Xw, it, rel = bcg_solve_info(wmm, Bt, None, tol=tol,
+                                 maxiter=maxiter)
+    return precond_sqrt_apply(Q, ise, sn2, Xw), it, rel, logdet_P, wmm
+
+
 def bcg_solve(matmat: Callable, B_rhs: jnp.ndarray, pinv=None,
               tol: float = 1e-5, maxiter: int = 500):
     """Batched (P)CG: B independent right-hand sides advanced in
@@ -530,7 +571,8 @@ def chunked_matvec(params_to_A_row_chunk: Callable, v: jnp.ndarray,
 
     def one(c):
         A_chunk = params_to_A_row_chunk(c)          # (chunk, n)
-        return A_chunk @ v
+        return jnp.matmul(A_chunk, v,
+                          precision=jax.lax.Precision.HIGHEST)
 
     ys = lax.map(jax.remat(one), chunks)
     return ys.reshape(-1)
@@ -706,11 +748,12 @@ def nlml_iterative(it_gp: IterativeGP, y, key, cg_tol: float = 1e-4,
         half_logdet = 0.5 * slq_logdet_batched(
             op.matmat, n, key, probes, lanczos_iters)
     else:
-        pinv = woodbury_preconditioner(L, it_gp.sn2)
-        alpha, it, _ = pcg_solve(op, y, pinv, tol=cg_tol,
-                                 maxiter=cg_maxiter)
-        half_logdet = 0.5 * slq_logdet_preconditioned(
-            op.matmat, L, it_gp.sn2, n, key, probes, lanczos_iters)
+        sols, it, _rel, logdet_P, wmm = whitened_solve_info(
+            op.matmat, L, it_gp.sn2, y[:, None], tol=cg_tol,
+            maxiter=cg_maxiter)
+        alpha = sols[:, 0]
+        half_logdet = 0.5 * (logdet_P + slq_logdet_batched(
+            wmm, n, key, probes, lanczos_iters))
     val = 0.5 * jnp.dot(y, alpha) + half_logdet \
         + 0.5 * n * math.log(2.0 * math.pi)
     return val, alpha, it
@@ -748,16 +791,21 @@ def grad_iterative(it_gp: IterativeGP, y, key, alpha=None,
         return _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
     op = _flagship_operator(it_gp, tm, tn, interpret, mode=mode)
     cg_tol = _effective_cg_tol(cg_tol, mode)
-    pinv = make_preconditioner(it_gp, precond_rank)
+    L = _pivchol(it_gp, precond_rank)
+
+    def _solve(B):
+        if L is None:
+            return bcg_solve(op.matmat, B, None, tol=cg_tol,
+                             maxiter=cg_maxiter)[0]
+        return whitened_solve_info(op.matmat, L, it_gp.sn2, B,
+                                   tol=cg_tol, maxiter=cg_maxiter)[0]
+
     if alpha is None:
         # alpha rides the same blocked solve as the probes
-        sols, _ = bcg_solve(op.matmat, jnp.concatenate(
-            [y[:, None], Z], axis=1), pinv, tol=cg_tol,
-            maxiter=cg_maxiter)
+        sols = _solve(jnp.concatenate([y[:, None], Z], axis=1))
         alpha, ws = sols[:, 0], sols[:, 1:].T
     else:
-        ws = bcg_solve(op.matmat, Z, pinv, tol=cg_tol,
-                       maxiter=cg_maxiter)[0].T
+        ws = _solve(Z).T
     return _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
 
 
@@ -804,8 +852,11 @@ def _grad_contraction(it_gp: IterativeGP, alpha, ws, zs, chunk: int):
             return jnp.where(mask, k, 0.0)
 
         def one(c):
-            # (chunk, m+1) = rows of A V, contracted against U rows
-            AVc = row_chunk(c) @ Vp
+            # (chunk, m+1) = rows of A V, contracted against U rows;
+            # f32 MXU precision — the gradient pass is one of ~100
+            # operator passes per eval, so the 3-pass cost is noise
+            AVc = jnp.matmul(row_chunk(c), Vp,
+                             precision=jax.lax.Precision.HIGHEST)
             Uc = lax.dynamic_slice_in_dim(Up, c * chunk, chunk)
             return jnp.sum(Uc * AVc, axis=0)                # (m+1,)
 
@@ -913,12 +964,14 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
         half_logdet = 0.5 * slq_logdet_batched(
             op.matmat, n, key_logdet, slq_probes, lanczos_iters)
     else:
-        pinv = woodbury_preconditioner(L, it_gp.sn2)
-        sols, it, rel = bcg_solve_info(op.matmat, rhs, pinv, tol=cg_tol,
-                                       maxiter=cg_maxiter)
-        half_logdet = 0.5 * slq_logdet_preconditioned(
-            op.matmat, L, it_gp.sn2, n, key_logdet, slq_probes,
-            lanczos_iters)
+        # explicitly whitened CG (see whitened_solve_info): the
+        # implicit-PCG recurrence is f32-unstable at this kappa; the
+        # SLQ rides the same whitened operator (one shared Q/eig build)
+        sols, it, rel, logdet_P, wmm = whitened_solve_info(
+            op.matmat, L, it_gp.sn2, rhs, tol=cg_tol,
+            maxiter=cg_maxiter)
+        half_logdet = 0.5 * (logdet_P + slq_logdet_batched(
+            wmm, n, key_logdet, slq_probes, lanczos_iters))
     alpha, ws = sols[:, 0], sols[:, 1:].T
     val = 0.5 * jnp.dot(y, alpha) + half_logdet \
         + 0.5 * n * math.log(2.0 * math.pi)

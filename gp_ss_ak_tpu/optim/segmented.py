@@ -12,11 +12,13 @@ bounded jit segments, carrying the solver state between dispatches:
 
   setup     one dispatch: metric map, streamed-operator arrays
             (ops/matvec.operator_arrays), pivoted Cholesky L,
-            Woodbury + P^(-1/2) spectral pieces.
-  bcg       `seg_iters` PCG iterations per dispatch on [y | Z_grad]
-            (inference.iterative.bcg_init/bcg_segment — the state
-            tuple IS the while_loop carry, so resuming is bit-identical
-            to an uninterrupted solve).
+            P^(-1/2) spectral pieces, whitened rhs.
+  bcg       `seg_iters` whitened-CG iterations per dispatch on
+            P^(-1/2)[y | Z_grad] (plain CG on P^(-1/2) A P^(-1/2) —
+            the f32-stable route, inference.iterative
+            .whitened_solve_info; the state tuple IS the while_loop
+            carry, so resuming is bit-identical to an uninterrupted
+            solve).
   slq       `seg_iters` whitened Lanczos steps per dispatch
             (lanczos_batched_init/segment), quadrature at the end.
   grad      one dispatch: the chunked Hutchinson/fit-term contraction
@@ -55,8 +57,6 @@ from gp_ss_ak_tpu.inference.iterative import (
     precond_sqrt_apply,
     precond_sqrt_pieces,
     slq_quadrature,
-    woodbury_apply,
-    woodbury_pieces,
 )
 from gp_ss_ak_tpu.model import GPModel
 from gp_ss_ak_tpu.ops.fused import mapped_points
@@ -116,6 +116,14 @@ def make_segmented_value_and_grad(
         return streamed_matmat(Xt, norms, scalars, bias, sn2, V, n,
                                tm, tn, interpret)
 
+    def _wmm(Xt, norms, scalars, bias, sn2, Q, inv_eig, V):
+        """Whitened operator P^(-1/2) A P^(-1/2) (the f32-stable solve
+        route, inference.iterative.whitened_solve_info — the implicit
+        PCG recurrence breaks down at the flagship conditioning)."""
+        pv = precond_sqrt_apply(Q, inv_eig, sn2, V)
+        av = _matmat(Xt, norms, scalars, bias, sn2, pv)
+        return precond_sqrt_apply(Q, inv_eig, sn2, av)
+
     @jax.jit
     def setup_fn(flat):
         ep, bp = kernel.unpack(flat[:nk])
@@ -124,27 +132,30 @@ def make_segmented_value_and_grad(
         Xm = mapped_points(expans, ep, Xd)
         Xt, norms, scalars = operator_arrays(Xm, sigma, tile)
         L = pivoted_cholesky(Xm, sigma, bias, rank)
-        Mchol = woodbury_pieces(L, sn2)
         Q, inv_eig, logdet_P = precond_sqrt_pieces(L, sn2)
-        state, thresh = bcg_init(
-            jnp.concatenate([yd[:, None], Z_grad], axis=1),
-            lambda v: woodbury_apply(L, Mchol, sn2, v), cg_tol)
+        rhs_w = precond_sqrt_apply(
+            Q, inv_eig, sn2,
+            jnp.concatenate([yd[:, None], Z_grad], axis=1))
+        state, thresh = bcg_init(rhs_w, None, cg_tol)
         carry = lanczos_batched_init(Z_slq)
-        return (Xt, norms, scalars, bias, sn2, L, Mchol, Q, inv_eig,
+        return (Xt, norms, scalars, bias, sn2, Q, inv_eig,
                 logdet_P, state, thresh, carry)
 
     @jax.jit
-    def bcg_seg_fn(Xt, norms, scalars, bias, sn2, L, Mchol, state,
+    def bcg_seg_fn(Xt, norms, scalars, bias, sn2, Q, inv_eig, state,
                    thresh, it_cap):
-        matmat = functools.partial(_matmat, Xt, norms, scalars, bias,
-                                   sn2)
-        pinv = lambda v: woodbury_apply(L, Mchol, sn2, v)  # noqa: E731
-        return bcg_segment(matmat, pinv, state, thresh, it_cap)
+        wmm = functools.partial(_wmm, Xt, norms, scalars, bias, sn2,
+                                Q, inv_eig)
+        return bcg_segment(wmm, None, state, thresh, it_cap)
 
     @jax.jit
     def bcg_status_fn(state, thresh):
-        return (bcg_done(state, thresh), state[5],
+        return (bcg_done(state, thresh, pinv=None), state[5],
                 bcg_rel_residual(state, thresh, cg_tol))
+
+    @jax.jit
+    def unwhiten_fn(Q, inv_eig, sn2, Xbest):
+        return precond_sqrt_apply(Q, inv_eig, sn2, Xbest)
 
     @functools.partial(jax.jit, static_argnums=(8,))
     def slq_seg_fn(Xt, norms, scalars, bias, sn2, Q, inv_eig, carry,
@@ -182,21 +193,21 @@ def make_segmented_value_and_grad(
 
     def value_and_grad(x_np: np.ndarray):
         flat = jnp.asarray(x_np, jnp.float32)
-        (Xt, norms, scalars, bias, sn2, L, Mchol, Q, inv_eig,
+        (Xt, norms, scalars, bias, sn2, Q, inv_eig,
          logdet_P, state, thresh, carry) = setup_fn(flat)
 
         it = 0
         rel = None
         while it < cg_maxiter:
             cap = min(it + seg_iters, cg_maxiter)
-            state = bcg_seg_fn(Xt, norms, scalars, bias, sn2, L,
-                               Mchol, state, thresh, cap)
+            state = bcg_seg_fn(Xt, norms, scalars, bias, sn2, Q,
+                               inv_eig, state, thresh, cap)
             done, it_arr, rel_arr = bcg_status_fn(state, thresh)
             it = int(it_arr)
             rel = float(rel_arr)
             if bool(done):
                 break
-        sols = state[6]                       # best iterates
+        sols = unwhiten_fn(Q, inv_eig, sn2, state[6])  # best iterates
         alpha, ws = sols[:, 0], sols[:, 1:].T
 
         alphas_parts, betas_parts = [], []

@@ -532,8 +532,14 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
         # axis; the CG/Lanczos carries must match from iteration 0
         from gp_ss_ak_tpu.utils.vma import pvary_like
         rhs = pvary_like(rhs, Xm)
-        sols, _it = _ring_bcg(matmat, rhs, pinv, cg_tol, cg_maxiter,
-                              axis)
+        # whitened CG (plain CG on P^(-1/2) A P^(-1/2)) — the
+        # f32-stable solve route; the implicit-PCG recurrence breaks
+        # down at the flagship conditioning (see
+        # inference.iterative.whitened_solve_info)
+        sols_w, _it = _ring_bcg(
+            lambda V: inv_sqrt(matmat(inv_sqrt(V))),
+            inv_sqrt(rhs), None, cg_tol, cg_maxiter, axis)
+        sols = inv_sqrt(sols_w)
         alpha, ws = sols[:, 0], sols[:, 1:]
 
         Zl_all = jax.random.rademacher(key_ld, (n_pad, slq_probes), dt)
@@ -674,15 +680,20 @@ def make_ring_predict(kernel, mesh: Mesh, n: int, n_devices: int = None,
         kX = _tile(Xm, Xsm, sigma, bias)               # (n_local, m)
         kX = jnp.where(row_valid[:, None], kX, 0.0)
 
+        yz = jnp.where(row_valid, y_local, 0.0)
+        rhs = jnp.concatenate([yz[:, None], kX], axis=1)
         if precond_rank:
             L_local = _ring_pivoted_chol(Xm, row_valid, g, sigma, bias,
                                          precond_rank, n_pad, axis)
-            pinv, _, _ = _ring_precond(L_local, sn2, n, axis)
+            _pinv, inv_sqrt, _ld = _ring_precond(L_local, sn2, n, axis)
+            # whitened CG — f32-stable (see make_ring_nlml_and_grad)
+            sols_w, _it = _ring_bcg(
+                lambda V: inv_sqrt(matmat(inv_sqrt(V))),
+                inv_sqrt(rhs), None, tol, maxiter, axis)
+            sols = inv_sqrt(sols_w)
         else:
-            pinv = None
-        yz = jnp.where(row_valid, y_local, 0.0)
-        rhs = jnp.concatenate([yz[:, None], kX], axis=1)
-        sols, _it = _ring_bcg(matmat, rhs, pinv, tol, maxiter, axis)
+            sols, _it = _ring_bcg(matmat, rhs, None, tol, maxiter,
+                                  axis)
         alpha, U = sols[:, 0], sols[:, 1:]
 
         mu = lax.psum(jnp.matmul(kX.T, alpha[:, None],

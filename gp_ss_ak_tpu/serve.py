@@ -95,10 +95,11 @@ class IterativePredictor:
     reference's posteriorMeanVar contract (GP_Utils.cpp:943-1043) past
     that wall with the same pieces the training engine runs on:
 
-      setup  alpha = A^-1 y by preconditioned batched CG over the
-             streamed Pallas Gram operator (ops/matvec.py) with the
-             rank-k pivoted-Cholesky/Woodbury preconditioner —
-             one-time cost, alpha stays on device.
+      setup  alpha = A^-1 y by whitened batched CG (plain CG on
+             P^(-1/2) A P^(-1/2), P the rank-k pivoted-Cholesky
+             preconditioner — the f32-stable route) over the streamed
+             Pallas Gram operator (ops/matvec.py) — one-time cost,
+             alpha stays on device.
       mean   mu = k*' alpha + bias * sum(alpha): one chunked
              cross-kernel pass per query batch, O(N M d) — no solves.
       var    sigma^2 = (s^2 + bias) - k*' A^-1 k* + sn2: one batched
@@ -119,7 +120,7 @@ class IterativePredictor:
             auto_precond_rank,
             bcg_solve,
             pivoted_cholesky,
-            woodbury_preconditioner,
+            whitened_solve_info,
         )
         from gp_ss_ak_tpu.kernels.distance import pad_to_3d
         from gp_ss_ak_tpu.ops.matvec import (
@@ -174,16 +175,24 @@ class IterativePredictor:
                                    n, tm, tn, interpret)
 
         self._matmat = matmat
-        pinv = None
+        # whitened-CG solve route (f32-stable at the flagship
+        # conditioning — inference.iterative.whitened_solve_info);
+        # rank=0 falls back to plain CG
         if rank:
             L = pivoted_cholesky(Xm, sigma, bias, rank)
-            pinv = woodbury_preconditioner(L, sn2)
-        self._pinv = pinv
-        alpha, it = bcg_solve(matmat, yd[:, None], pinv, tol=cg_tol,
-                              maxiter=cg_maxiter)
+
+            def solve(B):
+                sols, it, _rel, _ld, _wmm = whitened_solve_info(
+                    matmat, L, sn2, B, tol=cg_tol, maxiter=cg_maxiter)
+                return sols, it
+        else:
+            def solve(B):
+                return bcg_solve(matmat, B, None, tol=cg_tol,
+                                 maxiter=cg_maxiter)
+        self._solve = solve
+        alpha, it = solve(yd[:, None])
         self.alpha = jax.block_until_ready(alpha[:, 0])
         self.setup_cg_iters = int(it)
-        self._bcg_solve = bcg_solve
 
         # chunk-padded train points + alpha for the cross-kernel passes
         npad = _round_up(n, chunk)
@@ -217,7 +226,9 @@ class IterativePredictor:
                     alpha_pad, ci * chunk, chunk)
                 d2 = gram_sqdist(rows, Xsm)
                 k = s2 * jnp.exp(-jnp.sqrt(jnp.maximum(d2, 0.0)))
-                return k.T @ a                      # (B,)
+                return jnp.matmul(
+                    k.T, a,
+                    precision=jax.lax.Precision.HIGHEST)  # (B,)
 
             parts = jax.lax.map(one, jnp.arange(n_chunks))
             # bias is rank-1: bias * sum(alpha) per query
@@ -251,9 +262,7 @@ class IterativePredictor:
 
     def _var_batch(self, Xsm):
         kx = self._cross_fn(Xsm)                     # (n, B)
-        W, it = self._bcg_solve(self._matmat, kx, self._pinv,
-                                tol=self.cg_tol,
-                                maxiter=self.cg_maxiter)
+        W, it = self._solve(kx)
         self.last_cg_iters = int(it)
         kss = self.s2 + self.bias                    # k(x*, x*)
         var = kss - jnp.sum(kx * W, axis=0)

@@ -594,6 +594,11 @@ class TestSegmented:
         assert vs == pytest.approx(vf, rel=1e-5)
         np.testing.assert_allclose(gs, gf, rtol=1e-4, atol=1e-6)
         assert vg_s.last_cg_iters == vg_f.last_cg_iters
+        # both paths report the achieved residual + rank (row hygiene,
+        # VERDICT r3 #4/#10)
+        assert 0.0 <= vg_s.last_rel_residual <= 1e-3 * 1.05
+        assert 0.0 <= vg_f.last_rel_residual <= 1e-3 * 1.05
+        assert vg_s.precond_rank == vg_f.precond_rank > 0
 
     def test_fit_routes_segmented(self):
         """fit(engine='iterative', engine_opts={'segmented': True})
@@ -606,3 +611,66 @@ class TestSegmented:
                                            tn=128, seg_iters=5))
         assert np.isfinite(res.fun)
         assert res.trace[-1] <= res.trace[0]
+
+
+class TestWhitenedSolve:
+    def test_matches_direct_solve(self):
+        """whitened_solve_info must return the same solution as a
+        dense direct solve (the operator is the flagship A)."""
+        from gp_ss_ak_tpu.inference.iterative import (
+            pivoted_cholesky,
+            whitened_solve_info,
+        )
+
+        model, X, y, it_gp = setup(n=384)
+        from gp_ss_ak_tpu.ops.matvec import MatvecOperator
+
+        op = MatvecOperator(it_gp.Xm, it_gp.sigma, it_gp.bias,
+                            it_gp.sn2, tm=128, tn=128)
+        L = pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, 64)
+        B = jnp.stack([jnp.asarray(y, jnp.float32),
+                       jnp.ones_like(jnp.asarray(y, jnp.float32))],
+                      axis=1)
+        Xsol, it, rel, logdet_P, wmm = whitened_solve_info(
+            op.matmat, L, it_gp.sn2, B, tol=1e-7, maxiter=2000)
+        assert float(rel) <= 1e-7 * 1.05
+        assert int(it) > 0
+        # dense reference
+        from gp_ss_ak_tpu.kernels.distance import gram_sqdist
+
+        d2 = gram_sqdist(it_gp.Xm, it_gp.Xm, same=True)
+        A = (it_gp.sigma ** 2 * jnp.exp(-jnp.sqrt(
+            jnp.where(jnp.eye(384, dtype=bool), 1.0, d2)))
+            * (1 - jnp.eye(384)) + it_gp.sigma ** 2 * jnp.eye(384)
+            + it_gp.bias + it_gp.sn2 * jnp.eye(384))
+        Xref = jnp.linalg.solve(A, B)
+        np.testing.assert_allclose(np.asarray(Xsol), np.asarray(Xref),
+                                   rtol=2e-3, atol=2e-4)
+        # logdet_P is the exact logdet of L L^T + sn2 I
+        P = L @ L.T + it_gp.sn2 * jnp.eye(384)
+        sign, ld = jnp.linalg.slogdet(P)
+        assert float(sign) == 1.0
+        assert float(logdet_P) == pytest.approx(float(ld), rel=1e-4)
+
+    def test_whitened_operator_well_conditioned(self):
+        """kappa of the whitened operator ~ (lambda_k + sn2)/sn2 —
+        the reason the route is f32-stable."""
+        from gp_ss_ak_tpu.inference.iterative import (
+            pivoted_cholesky,
+            whitened_solve_info,
+        )
+        from gp_ss_ak_tpu.ops.matvec import MatvecOperator
+
+        model, X, y, it_gp = setup(n=256)
+        op = MatvecOperator(it_gp.Xm, it_gp.sigma, it_gp.bias,
+                            it_gp.sn2, tm=128, tn=128)
+        L = pivoted_cholesky(it_gp.Xm, it_gp.sigma, it_gp.bias, 128)
+        _x, _it, _rel, _ld, wmm = whitened_solve_info(
+            op.matmat, L, it_gp.sn2, jnp.ones((256, 1), jnp.float32),
+            tol=1e-6, maxiter=500)
+        W = wmm(jnp.eye(256, dtype=jnp.float32))
+        ev = np.linalg.eigvalsh(np.asarray(0.5 * (W + W.T),
+                                           np.float64))
+        kappa_w = ev[-1] / max(ev[0], 1e-30)
+        # raw kappa(A) here is >= 1e4; whitening must crush it
+        assert kappa_w < 500.0
