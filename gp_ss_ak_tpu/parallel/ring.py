@@ -332,12 +332,21 @@ def _ring_precond(L_local, sn2, n_true, axis):
     return pinv, inv_sqrt, logdet_P
 
 
-def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis):
+def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis,
+              uniform_axis=None):
     """Batched PCG with psum'd inner products and the same
     best-iterate / non-finite / stall hardening as inference.iterative
     .bcg_solve (frozen columns never poison the result; a tolerance
     below the f32 floor stops at the residual plateau instead of
-    spinning every device to maxiter)."""
+    spinning every device to maxiter).
+
+    `uniform_axis`: on a two-level mesh the body's ppermutes span only
+    the ROW groups, but XLA schedules the collective-permute across
+    the WHOLE mesh — a chain whose CG finishes earlier would stop
+    issuing it and deadlock the others at the rendezvous. The
+    continue predicate is therefore OR-reduced over the chain axis:
+    every chain iterates until the slowest converges (frozen columns
+    make the extra iterations no-ops)."""
     from gp_ss_ak_tpu.inference.iterative import BCG_STALL_ITERS
 
     def psum_cols(M):
@@ -357,8 +366,11 @@ def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis):
 
     def cond(state):
         _X, R, _Z, _P, _rz, it, _Xb, _rb, stall = state
-        return jnp.any(_active(R)) & (it < maxiter) \
+        cont = jnp.any(_active(R)) & (it < maxiter) \
             & (stall < BCG_STALL_ITERS)
+        if uniform_axis is not None:
+            cont = lax.psum(cont.astype(jnp.int32), uniform_axis) > 0
+        return cont
 
     def body(state):
         X, R, Z, Pv, rz, it, Xbest, rn_best, stall = state
@@ -496,7 +508,7 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
 
 def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
                     slq_probes, lanczos_iters, cg_tol, cg_maxiter,
-                    probe_seed):
+                    probe_seed, uniform_axis=None):
     """Per-device ring NLML+grad body, reusable across the 1-D mesh
     and the two-level (chains x dp) mesh (mirrors parallel/nlml's
     _make_nlml_body split)."""
@@ -538,7 +550,8 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
         # inference.iterative.whitened_solve_info)
         sols_w, _it = _ring_bcg(
             lambda V: inv_sqrt(matmat(inv_sqrt(V))),
-            inv_sqrt(rhs), None, cg_tol, cg_maxiter, axis)
+            inv_sqrt(rhs), None, cg_tol, cg_maxiter, axis,
+            uniform_axis=uniform_axis)
         sols = inv_sqrt(sols_w)
         alpha, ws = sols[:, 0], sols[:, 1:]
 
@@ -614,7 +627,8 @@ def make_two_level_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
     n_chains = mesh.devices.shape[ci]
     body = _make_ring_body(kernel, n, P_sz, row_axis, precond_rank,
                            probes, slq_probes, lanczos_iters, cg_tol,
-                           cg_maxiter, probe_seed)
+                           cg_maxiter, probe_seed,
+                           uniform_axis=chain_axis)
 
     def chain_body(flats_local, X_local, y_local):
         value, grad = body(flats_local[0], X_local, y_local)
