@@ -692,12 +692,14 @@ def auto_precond_rank(n: int) -> int:
     kept pace with N converges in a few hundred.
 
     The rank is cheap relative to what it saves: each doubling cuts
-    PCG iterations ~1.5x (measured at N=8192: 113/72/45/29/19 iters
-    for ranks 64/128/256/512/1024; N=16384: 170/106/65/42/27), the
-    pivoted build is O(n k (d + k)) once per hyperparameter setting,
-    and each Woodbury apply is O(n k) — noise next to the O(n^2)
-    operator pass it replaces. So the rule leans high: every PCG
-    iteration saved is a full pass over the Gram tiles."""
+    whitened-CG iterations ~1.5x (kappa of the whitened operator is
+    (lambda_k + sn2)/sn2; measured on-chip with the whitened route at
+    N=65536: 94/58/36 iters for ranks 512/1024/2048, N=100000:
+    116/71/44 — results.json["stream_tuning"]), the pivoted build is
+    O(n k (d + k)) once per hyperparameter setting, and each
+    P^(-1/2) apply is O(n k) — noise next to the O(n^2) operator pass
+    it replaces. So the rule leans high: every CG iteration saved is
+    a full pass over the Gram tiles."""
     return max(64, min(1024, n // 48))
 
 
