@@ -20,13 +20,39 @@ import numpy as np
 from gp_ss_ak_tpu.inference import gaussian
 from gp_ss_ak_tpu.model import GPModel
 
+def blocked_linv(chol, block: int = 1024):
+    """L^-1 computed column-block by column-block.
+
+    A single n-RHS `solve_triangular` is the obvious spelling, but
+    XLA:TPU's lowering materializes temporaries proportional to
+    n x RHS (~64 GB at n = RHS = 16384 — measured OOM on a 16 GB
+    v5e). Solving L X_j = E_j for `block` columns at a time bounds the
+    temporaries at n x block while producing the same (n, n) inverse;
+    the host loop costs one dispatch per block."""
+    n = chol.shape[0]
+    dtype = chol.dtype
+    cols = []
+    with jax.default_matmul_precision("highest"):
+        for start in range(0, n, block):
+            b = min(block, n - start)
+            E = jnp.zeros((n, b), dtype).at[
+                start + jnp.arange(b), jnp.arange(b)].set(1.0)
+            cols.append(jax.scipy.linalg.solve_triangular(
+                chol, E, lower=True))
+    return jnp.concatenate(cols, axis=1)
+
+
 class Predictor:
     """Posterior server for one trained model + training set."""
 
-    #: above this training size the one-time L^-1 (an extra n x n
-    #: buffer + one n-RHS triangular solve) is not precomputed by
-    #: default — pass precompute_inverse=True to override.
+    #: above this training size the one-time L^-1 (an n x n buffer) is
+    #: not precomputed by default — pass precompute_inverse=True to
+    #: override. The inverse is built block-by-block (`blocked_linv`):
+    #: a single n-RHS triangular solve OOMs the XLA lowering at
+    #: n = 16384.
     PRECOMPUTE_MAX_N = 16384
+    #: single-dispatch solve is fine below this; blocked above
+    SINGLE_SHOT_LINV_MAX_N = 8192
 
     def __init__(self, model: GPModel, X, y, jitter: float = 0.0,
                  robust: bool = False, fused: bool = None,
@@ -50,10 +76,14 @@ class Predictor:
         if precompute_inverse:
             # one-time L^-1 so each serving batch's whitened solve is a
             # single MXU GEMM instead of a triangular solve
-            eye = jnp.eye(self.X.shape[0], dtype=dtype)
-            with jax.default_matmul_precision("highest"):
-                linv = jax.scipy.linalg.solve_triangular(
-                    self.post.chol, eye, lower=True)
+            n = self.X.shape[0]
+            if n <= self.SINGLE_SHOT_LINV_MAX_N:
+                eye = jnp.eye(n, dtype=dtype)
+                with jax.default_matmul_precision("highest"):
+                    linv = jax.scipy.linalg.solve_triangular(
+                        self.post.chol, eye, lower=True)
+            else:
+                linv = blocked_linv(self.post.chol)
             self.post = self.post._replace(linv=linv)
 
         self._predict = jax.jit(

@@ -59,8 +59,15 @@ def achieved_tflops(flops: int, seconds: float) -> float:
 
 
 def chain_timeit(step: Callable, init, reps: int = 10,
-                 subtract_null: bool = True) -> float:
-    """Elision-proof per-call seconds for `step(z, s) -> f32 scalar`.
+                 subtract_null: bool = True, args=()) -> float:
+    """Elision-proof per-call seconds for `step(z, s, *args) -> f32
+    scalar`.
+
+    Pass large device arrays (factors, training sets) through `args`
+    rather than closing over them: jit-closure constants are embedded
+    in the remote-compile request, and a GB-sized factor exceeds the
+    tunnel's request limit (HTTP 413 — measured with a 16k x 16k
+    Cholesky).
 
     Runs `reps` serially-dependent evaluations inside ONE jitted
     fori_loop (each call's input is perturbed by the running scalar
@@ -76,14 +83,14 @@ def chain_timeit(step: Callable, init, reps: int = 10,
     from jax import lax
 
     @jax.jit
-    def chain(z):
+    def chain(z, *extra):
         def body(_, carry):
             z, s = carry
-            return (z, s + step(z, s))
+            return (z, s + step(z, s, *extra))
         _, s = lax.fori_loop(0, reps, body,
                              (z, jnp.asarray(0.0, jnp.float32)))
         return s
-    jax.block_until_ready(chain(init))  # compile
+    jax.block_until_ready(chain(init, *args))  # compile
 
     t_null = 0.0
     if subtract_null:
@@ -102,7 +109,7 @@ def chain_timeit(step: Callable, init, reps: int = 10,
     totals = []
     for k in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(init + (k + 1) * 1e-7))
+        jax.block_until_ready(chain(init + (k + 1) * 1e-7, *args))
         totals.append(time.perf_counter() - t0)
     totals.sort()
     t_total = totals[len(totals) // 2]

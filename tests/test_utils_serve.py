@@ -204,3 +204,16 @@ class TestIterativePredictor:
         X = np.zeros((8, 3))
         with pytest.raises(ValueError):
             IterativePredictor(model, X, np.zeros(8))
+
+
+def test_blocked_linv_matches_single_shot():
+    from gp_ss_ak_tpu.serve import blocked_linv
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(130, 130))
+    L = np.linalg.cholesky(A @ A.T + 130 * np.eye(130))
+    Ld = jnp.asarray(L)
+    got = np.asarray(blocked_linv(Ld, block=48))  # uneven tail block
+    ref = np.asarray(jax.scipy.linalg.solve_triangular(
+        Ld, jnp.eye(130, dtype=Ld.dtype), lower=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
