@@ -40,8 +40,11 @@ def blocked_linv(chol, block: int = 1024):
     dtype = chol.dtype
     nb = -(-n // block)
     npad = nb * block
-    # identity padding keeps the trailing diagonal blocks invertible
-    Lp = jnp.eye(npad, dtype=dtype).at[:n, :n].set(chol)
+    if npad == n:
+        Lp = chol          # no padded copy — saves an n^2 buffer
+    else:
+        # identity padding keeps trailing diagonal blocks invertible
+        Lp = jnp.eye(npad, dtype=dtype).at[:n, :n].set(chol)
     eye_b = jnp.eye(block, dtype=dtype)
     prec = jax.lax.Precision.HIGHEST
 
