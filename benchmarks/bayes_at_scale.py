@@ -3,16 +3,21 @@ config 4's measured cost anchor).
 
 Samples the flagship hyperposterior at N = 16384 on the real chip with
 every leapfrog's NLML+gradient running through the matrix-free engine
-(optim/iterative_fit's traceable hook -> bayes.sample_hyperposterior's
-nlml_value_and_grad custom-VJP path — the same plumbing the ring/dist
-hooks use, tests/test_bayes.py).
+(optim/iterative_fit's traceable hook — the same custom-VJP plumbing
+bayes.sample_hyperposterior's nlml_value_and_grad path uses,
+tests/test_bayes.py).
 
-Two short runs:
-  hmc   fixed n_leapfrog=16 — the leapfrog count is exact, so
-        seconds/leapfrog = wall / (transitions * (16 + 1)) is a clean
-        cost anchor (the +1 is the initial energy evaluation).
-  nuts  a few adaptive transitions — seconds/transition + acceptance
-        (leaf counts vary; the HMC row carries the per-leapfrog rate).
+Transitions are HOST-PACED: one jitted HMC/NUTS transition per
+dispatch (~2-3 s of device time at this N) — the all-transitions
+lax.scan that bayes.hmc compiles is a single multi-minute dispatch,
+which the tunneled TPU worker does not survive (same failure mode the
+segmented fit driver works around, optim/segmented.py). The math is
+identical: _hmc_transition/_nuts_transition + dual-averaging warmup.
+
+  hmc   fixed n_leapfrog=16 — seconds/leapfrog = wall /
+        (transitions * (16 + 1)) is a clean cost anchor.
+  nuts  adaptive trees, max_depth=6 (64-leapfrog dispatch ceiling);
+        seconds/transition + acceptance reported.
 
 Writes results.json["bayes_at_scale_n16384"].
 
@@ -33,19 +38,22 @@ sys.path.insert(0, os.path.dirname(HERE))
 RESULTS = os.path.join(HERE, "results.json")
 
 N = 16384
-HMC_WARMUP = 24
-HMC_SAMPLES = 24
+HMC_WARMUP = 20
+HMC_SAMPLES = 20
 HMC_LEAPFROG = 16
-NUTS_WARMUP = 12
-NUTS_SAMPLES = 12
-NUTS_MAX_DEPTH = 8   # nuts_sample default (not overridable via the api)
+NUTS_WARMUP = 10
+NUTS_SAMPLES = 10
+NUTS_MAX_DEPTH = 6
+HMC_EPS = 0.05
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from gp_ss_ak_tpu.bayes.api import sample_hyperposterior
+    from gp_ss_ak_tpu.bayes import hmc as H
+    from gp_ss_ak_tpu.bayes.priors import default_box, \
+        make_log_posterior
     from gp_ss_ak_tpu.model import default_model
     from gp_ss_ak_tpu.optim.iterative_fit import (
         make_iterative_value_and_grad,
@@ -59,44 +67,93 @@ def main():
     vg = make_iterative_value_and_grad(model, X, y)
     hook = vg.traceable
 
+    # the custom-VJP wrapper bayes.api builds around an explicit
+    # (value, grad) objective — reverse-mode never enters the engine
+    @jax.custom_vjp
+    def nlml_cv(t):
+        v, _ = hook(t)
+        return v
+
+    nlml_cv.defvjp(lambda t: hook(t), lambda g, ct: (ct * g,))
+
+    p = model.n_params
+    box = default_box(p, jnp.float32)
+    log_post = make_log_posterior(nlml_cv, box, None)
+    lp_grad = jax.value_and_grad(log_post)
+
+    def log_post_grad(z):
+        v, g = lp_grad(z)
+        v = jnp.where(jnp.isnan(v), -jnp.inf, v)
+        g = jnp.where(jnp.isnan(g), 0.0, g)
+        return v, g
+
+    inv_mass = jnp.ones((p,), jnp.float32)
+    z0 = box.inverse(model.pack())
+
     out = {"backend": jax.default_backend(), "n": N,
            "nlml_engine": "iterative (auto mode -> materialized chol "
-                          "at this N; exact value, Hutchinson grad)"}
+                          "at this N; exact value, Hutchinson grad)",
+           "dispatch": "host-paced, one transition per dispatch"}
 
     # --- HMC: exact leapfrog accounting -------------------------------
+    # FIXED step size: 20-transition dual averaging is too short to
+    # settle and can collapse eps to 0 (measured), which makes the
+    # acceptance statistic meaningless; a fixed small step gives an
+    # honest (cost, acceptance) pair
+    eps = jnp.asarray(HMC_EPS, jnp.float32)
+    hmc_step = jax.jit(lambda z, key: H._hmc_transition(
+        log_post_grad, z, key, eps, HMC_LEAPFROG, inv_mass))
+    keys = jax.random.split(jax.random.PRNGKey(0),
+                            HMC_WARMUP + HMC_SAMPLES)
+    z = z0
+    aps, walls = [], []
     t0 = time.perf_counter()
-    theta, aps = sample_hyperposterior(
-        model, X, y, jax.random.PRNGKey(0), n_samples=HMC_SAMPLES,
-        n_warmup=HMC_WARMUP, n_chains=1, sampler="hmc",
-        init_jitter=0.05, nlml_value_and_grad=hook)
+    for t, key in enumerate(keys):
+        t1 = time.perf_counter()
+        z, ap = jax.block_until_ready(hmc_step(z, key))
+        walls.append(time.perf_counter() - t1)
+        if t >= HMC_WARMUP:
+            aps.append(float(ap))
     wall = time.perf_counter() - t0
     transitions = HMC_WARMUP + HMC_SAMPLES
-    evals = transitions * (HMC_LEAPFROG + 1)
+    steady = float(np.median(walls[1:]))
     out["hmc"] = {
         "transitions": transitions,
         "n_leapfrog_per_transition": HMC_LEAPFROG,
+        "step_size": HMC_EPS,
         "wall_s": round(wall, 1),
-        "s_per_leapfrog": round(wall / evals, 3),
-        "mean_accept": float(np.mean(np.asarray(aps))),
-        "theta_finite": bool(np.isfinite(np.asarray(theta)).all()),
+        "compile_s": round(walls[0] - steady, 1),
+        "s_per_transition_steady": round(steady, 2),
+        "s_per_leapfrog": round(steady / (HMC_LEAPFROG + 1), 3),
+        "mean_accept": float(np.mean(aps)),
+        "theta_finite": bool(np.isfinite(
+            np.asarray(box.forward(z))).all()),
     }
     print(json.dumps(out["hmc"]), flush=True)
 
     # --- NUTS: a few adaptive transitions -----------------------------
+    nuts_step = jax.jit(lambda z, key: H._nuts_transition(
+        log_post_grad, z, key, eps, inv_mass, NUTS_MAX_DEPTH))
+    keys = jax.random.split(jax.random.PRNGKey(1),
+                            NUTS_WARMUP + NUTS_SAMPLES)
+    z = z0
+    aps_n = []
     t0 = time.perf_counter()
-    theta_n, aps_n = sample_hyperposterior(
-        model, X, y, jax.random.PRNGKey(1), n_samples=NUTS_SAMPLES,
-        n_warmup=NUTS_WARMUP, n_chains=1, sampler="nuts",
-        init_jitter=0.05, nlml_value_and_grad=hook)
+    for t, key in enumerate(keys):
+        z, ap = jax.block_until_ready(nuts_step(z, key))
+        if t >= NUTS_WARMUP:
+            aps_n.append(float(ap))
     wall_n = time.perf_counter() - t0
     out["nuts"] = {
         "transitions": NUTS_WARMUP + NUTS_SAMPLES,
         "max_depth": NUTS_MAX_DEPTH,
+        "step_size": HMC_EPS,
         "wall_s": round(wall_n, 1),
         "s_per_transition": round(
             wall_n / (NUTS_WARMUP + NUTS_SAMPLES), 2),
-        "mean_accept_stat": float(np.mean(np.asarray(aps_n))),
-        "theta_finite": bool(np.isfinite(np.asarray(theta_n)).all()),
+        "mean_accept_stat": float(np.mean(aps_n)),
+        "theta_finite": bool(np.isfinite(
+            np.asarray(box.forward(z))).all()),
     }
     print(json.dumps(out["nuts"]), flush=True)
     out["ts"] = time.strftime("%F %T")
