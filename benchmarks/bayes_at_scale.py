@@ -96,31 +96,47 @@ def main():
            "dispatch": "host-paced, one transition per dispatch"}
 
     # --- HMC: exact leapfrog accounting -------------------------------
-    # FIXED step size: 20-transition dual averaging is too short to
-    # settle and can collapse eps to 0 (measured), which makes the
-    # acceptance statistic meaningless; a fixed small step gives an
-    # honest (cost, acceptance) pair
-    eps = jnp.asarray(HMC_EPS, jnp.float32)
-    hmc_step = jax.jit(lambda z, key: H._hmc_transition(
-        log_post_grad, z, key, eps, HMC_LEAPFROG, inv_mass))
-    keys = jax.random.split(jax.random.PRNGKey(0),
-                            HMC_WARMUP + HMC_SAMPLES)
+    # FIXED step size chosen by a short scan (20-transition dual
+    # averaging is too short to settle and can collapse eps to 0 —
+    # measured); eps rides as a traced ARGUMENT so every phase reuses
+    # one compiled transition program
+    hmc_step = jax.jit(lambda z, key, e: H._hmc_transition(
+        log_post_grad, z, key, e, HMC_LEAPFROG, inv_mass))
+    walls = []
+    scan_keys = jax.random.split(jax.random.PRNGKey(7), 6)
+    chosen, scan_rows = None, []
+    for eps_try in (0.05, 0.0125, 0.003125, 0.0008):
+        aps_try = []
+        z = z0
+        for key in scan_keys:
+            t1 = time.perf_counter()
+            z, ap = jax.block_until_ready(
+                hmc_step(z, key, jnp.float32(eps_try)))
+            walls.append(time.perf_counter() - t1)
+            aps_try.append(float(ap))
+        scan_rows.append({"eps": eps_try,
+                          "accept": round(float(np.mean(aps_try)), 3)})
+        print(scan_rows[-1], flush=True)
+        if chosen is None and np.mean(aps_try) >= 0.5:
+            chosen = eps_try
+    chosen = chosen or 0.0008
+    keys = jax.random.split(jax.random.PRNGKey(0), HMC_SAMPLES)
     z = z0
-    aps, walls = [], []
+    aps = []
     t0 = time.perf_counter()
-    for t, key in enumerate(keys):
+    for key in keys:
         t1 = time.perf_counter()
-        z, ap = jax.block_until_ready(hmc_step(z, key))
+        z, ap = jax.block_until_ready(
+            hmc_step(z, key, jnp.float32(chosen)))
         walls.append(time.perf_counter() - t1)
-        if t >= HMC_WARMUP:
-            aps.append(float(ap))
+        aps.append(float(ap))
     wall = time.perf_counter() - t0
-    transitions = HMC_WARMUP + HMC_SAMPLES
     steady = float(np.median(walls[1:]))
     out["hmc"] = {
-        "transitions": transitions,
+        "transitions": HMC_SAMPLES,
         "n_leapfrog_per_transition": HMC_LEAPFROG,
-        "step_size": HMC_EPS,
+        "eps_scan": scan_rows,
+        "step_size": chosen,
         "wall_s": round(wall, 1),
         "compile_s": round(walls[0] - steady, 1),
         "s_per_transition_steady": round(steady, 2),
@@ -129,6 +145,7 @@ def main():
         "theta_finite": bool(np.isfinite(
             np.asarray(box.forward(z))).all()),
     }
+    eps = jnp.float32(chosen)
     print(json.dumps(out["hmc"]), flush=True)
 
     # --- NUTS: a few adaptive transitions -----------------------------

@@ -248,9 +248,21 @@ def cmd_test(args) -> int:
     Xts = apply(stats, Xt)
     Xtrs, ytrs = apply(stats, Xtr, ytr)
 
-    mu, var = predict(model.kernel, model.kernel_params, model.lik_hypers,
-                      jnp.asarray(Xtrs, dtype), jnp.asarray(ytrs, dtype),
-                      jnp.asarray(Xts, dtype), model.likelihood)
+    # past the dense wall (K + chol = 8 N^2 bytes), serve through the
+    # matrix-free predictor — the reference contract at scale
+    # (gp_ss_ak.cpp:332-508 on GP_Utils.cpp:943-1043)
+    from gp_ss_ak_tpu.optim.iterative_fit import supports_iterative
+
+    if Xtr.shape[0] > 32768 and supports_iterative(model):
+        from gp_ss_ak_tpu.serve import IterativePredictor
+
+        server = IterativePredictor(model, Xtrs, ytrs)
+        mu, var = server(Xts, batch_size=4096)
+    else:
+        mu, var = predict(model.kernel, model.kernel_params,
+                          model.lik_hypers, jnp.asarray(Xtrs, dtype),
+                          jnp.asarray(ytrs, dtype),
+                          jnp.asarray(Xts, dtype), model.likelihood)
     yh = unapply_y(stats, np.asarray(mu))
     std = unapply_var(stats, np.asarray(var))
 
