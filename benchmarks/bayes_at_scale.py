@@ -164,7 +164,7 @@ def main():
     out["nuts"] = {
         "transitions": NUTS_WARMUP + NUTS_SAMPLES,
         "max_depth": NUTS_MAX_DEPTH,
-        "step_size": HMC_EPS,
+        "step_size": float(eps),
         "wall_s": round(wall_n, 1),
         "s_per_transition": round(
             wall_n / (NUTS_WARMUP + NUTS_SAMPLES), 2),
