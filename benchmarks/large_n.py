@@ -326,6 +326,7 @@ def main():
     ap.add_argument("--sizes", default=None,
                     help="comma-separated N list override")
     ap.add_argument("--no-crosscheck", action="store_true")
+    ap.add_argument("--crosscheck-only", action="store_true")
     ap.add_argument("--no-fit", action="store_true",
                     help="eval rows only (stage the ladder across runs)")
     ap.add_argument("--fit-only", action="store_true",
@@ -340,6 +341,9 @@ def main():
     backend = jax.default_backend()
     sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes
              else (SIZES[:2] if args.quick else SIZES))
+    if args.crosscheck_only:
+        sizes = []
+        args.no_fit = True
 
     out = {"backend": backend, "rows": [], "ts": time.strftime("%F %T")}
     for n in ([] if args.fit_only else sizes):
