@@ -118,9 +118,12 @@ def ring_row(n, p, tmodel, slope):
     #   passes * P * (N/P) * (cols + 3) * 4 bytes  ~  passes * N * 48
     # and passes scales out of the ratio comm/comp because both are
     # per-pass linear — so compute the ratio per pass instead.
-    t_pass_comp = (n * n / p) * 2.2e-11     # s; c_pass from measured
-    #   c_pass: 16384^2 passes at 1 dev took 1.706 s over ~290 passes
-    #   -> ~5.9e-3 s / pass -> c = 5.9e-3 / 16384^2 = 2.2e-11 s/elem
+    t_pass_comp = (n * n / p) * 1.9e-11     # s; c_pass from measured
+    #   c_pass: the 1-device streamed evaluator at N=100000 runs one
+    #   NLML+grad (71 CG + 16 Lanczos + ~3 gradient/setup passes
+    #   ~ 90 operator passes) in 16.7 s -> 0.19 s/pass ->
+    #   c = 0.19 / 1e10 = 1.9e-11 s/element (VPU-bound: distance +
+    #   exp per Gram element; results.json["stream_tuning"])
     bytes_pass = (n / p) * (PROBE_COLS + 3) * 4 * p   # P hops of block
     t_pass_comm = bytes_pass / ICI_BYTES_S
     eff_no_overlap = t_pass_comp / (t_pass_comp + t_pass_comm)
