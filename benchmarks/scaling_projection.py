@@ -65,11 +65,21 @@ SLQ_COLS = 16
 
 
 def _ring_measured(data):
-    """(N, seconds) pairs from the on-chip ring rows."""
+    """(N, seconds) pairs for the per-device compute model.
+
+    Prefers the stream_tuning rows (whitened engine, rank 1024 — the
+    tuned per-device cost of exactly the math the ring schedule
+    distributes: tile builds + whitened CG + SLQ) over the rank-64
+    ring_nlml_tpu rows, whose iteration counts are noisy at the lean
+    rank."""
+    pts = sorted((r["n"], r["eval_s"])
+                 for r in data.get("stream_tuning", {}).get("rows", [])
+                 if r.get("precond_rank") == 1024 and "eval_s" in r)
+    if len(pts) >= 2:
+        return pts
     rows = data.get("ring_nlml_tpu", {}).get("rows", [])
-    pts = [(r["n"], r["nlml_grad_ms_chain"] / 1e3)
-           for r in rows if "nlml_grad_ms_chain" in r]
-    return sorted(pts)
+    return sorted((r["n"], r["nlml_grad_ms_chain"] / 1e3)
+                  for r in rows if "nlml_grad_ms_chain" in r)
 
 
 def _ring_model(pts):
