@@ -263,12 +263,14 @@ def _recorded_story():
     st = data.get("stream_tuning") or {}
     strows = [r for r in st.get("rows", []) if "eval_s" in r]
     if strows:
-        out["stream_tuning_best"] = {
-            str(r["n"]): {"rank": r["precond_rank"],
-                          "eval_s": r["eval_s"],
-                          "cg_iters": r["cg_iters"],
-                          "rel_res": r.get("cg_rel_residual")}
-            for r in sorted(strows, key=lambda r: r["eval_s"])[:3]}
+        best_by_n = {}
+        for r in sorted(strows, key=lambda r: r["eval_s"],
+                        reverse=True):
+            best_by_n[str(r["n"])] = {
+                "rank": r["precond_rank"], "eval_s": r["eval_s"],
+                "cg_iters": r["cg_iters"],
+                "rel_res": r.get("cg_rel_residual")}
+        out["stream_tuning_best"] = best_by_n
     ba = data.get("bayes_at_scale_n16384") or {}
     if ba.get("hmc"):
         out["bayes_n16384_s_per_leapfrog"] = \
