@@ -379,6 +379,10 @@ def main():
         stages = [
             ("fit", lambda: fit_row(with_quality=True)),
             ("fit_sgpr_32768", lambda: sgpr_row()),
+            # equal-budget sparse comparison at flagship scale: a
+            # reader picks exact-iterative vs SGPR by holdout MSE per
+            # wall-clock second
+            ("fit_sgpr_100000", lambda: sgpr_row(n=100000)),
             # stream-regime fits run the segmented driver: bounded
             # dispatches survive the tunneled worker (optim/segmented)
             ("fit_65536", lambda: fit_row(
@@ -416,8 +420,8 @@ def main():
     print(f"wrote large_n -> {RESULTS}")
 
 
-_SECTIONS = ("crosscheck", "fit", "fit_sgpr_32768", "fit_65536",
-             "fit_100000")
+_SECTIONS = ("crosscheck", "fit", "fit_sgpr_32768",
+             "fit_sgpr_100000", "fit_65536", "fit_100000")
 
 
 def _merge_write(out):
