@@ -271,6 +271,15 @@ def _recorded_story():
                 "cg_iters": r["cg_iters"],
                 "rel_res": r.get("cg_rel_residual")}
         out["stream_tuning_best"] = best_by_n
+    sg = ln.get("fit_sgpr_100000") or {}
+    if sg and "error" not in sg:
+        out["sgpr_100000"] = {k: sg.get(k) for k in
+                              ("fit_wall_s", "holdout_mse",
+                               "m_inducing") if k in sg}
+    cr = (data.get("comm_volume_ring") or {}).get("row") or {}
+    if cr.get("bytes_per_flop"):
+        out["ring_bytes_per_flop_n8192"] = round(
+            cr["bytes_per_flop"], 6)
     ba = data.get("bayes_at_scale_n16384") or {}
     if ba.get("hmc"):
         out["bayes_n16384_s_per_leapfrog"] = \
