@@ -578,6 +578,14 @@ def chunked_matvec(params_to_A_row_chunk: Callable, v: jnp.ndarray,
     return ys.reshape(-1)
 
 
+class IterStats(NamedTuple):
+    """Solve diagnostics + alpha from one fused NLML+grad evaluation."""
+
+    cg_iters: jnp.ndarray
+    rel_residual: jnp.ndarray
+    alpha: jnp.ndarray
+
+
 class IterativeGP(NamedTuple):
     """Factory bundle for the matrix-free flagship (ExpAns+Bias)."""
 
@@ -896,7 +904,7 @@ def nlml_and_grad_chol(it_gp: IterativeGP, y, key_trace,
     O(N^3/3) Cholesky — the fastest and most accurate option whenever
     A + L fit in HBM (N <= ~32k in f32 on a v5e).
 
-    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters=0).
+    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), alpha).
     A failed factorization propagates NaN into the value — the
     optimizers' NaN-rejection protocol (reference behavior,
     GP_Utils.cpp:884-887) handles it.
@@ -912,7 +920,7 @@ def nlml_and_grad_chol(it_gp: IterativeGP, y, key_trace,
     val = 0.5 * jnp.dot(y, alpha) + half_logdet \
         + 0.5 * n * math.log(2.0 * math.pi)
     grads = _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
-    return val, grads, jnp.asarray(0)
+    return val, grads, alpha
 
 
 def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
@@ -943,17 +951,22 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
     CG+SLQ flow at GEMM speed; "stream" never materializes. "auto"
     resolves by N against the 16 GB-chip thresholds.
 
-    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), cg_iters,
-    rel_residual) — rel_residual is the worst-column achieved
-    ||r||/||b|| of the solve (0.0 on the exact chol path)."""
+    Returns (value, (d_sigma, d_bias, d_sn2, d_Xm), stats) with
+    stats = IterStats(cg_iters, rel_residual, alpha): rel_residual is
+    the worst-column achieved ||r||/||b|| of the solve (0.0 on the
+    exact chol path); alpha = A^-1 y is exposed for likelihood-level
+    chain rules (the warped-Gaussian fit term's gradient is
+    alpha' dgy/dw — optim/iterative_fit)."""
     y = jnp.asarray(y, jnp.float32)
     n = y.shape[0]
     mode = choose_mode(n, mode)
     if mode == "chol":
-        val, grads, it = nlml_and_grad_chol(
+        val, grads, alpha = nlml_and_grad_chol(
             it_gp, y, key_trace, probes=probes, chunk=chunk,
             interpret=interpret)
-        return val, grads, it, jnp.asarray(0.0, jnp.float32)
+        return val, grads, IterStats(jnp.asarray(0),
+                                     jnp.asarray(0.0, jnp.float32),
+                                     alpha)
     op = _flagship_operator(it_gp, tm, tn, interpret, mode=mode)
     cg_tol = _effective_cg_tol(cg_tol, mode)
     L = _pivchol(it_gp, precond_rank)
@@ -978,4 +991,4 @@ def nlml_and_grad_iterative(it_gp: IterativeGP, y, key_logdet, key_trace,
     val = 0.5 * jnp.dot(y, alpha) + half_logdet \
         + 0.5 * n * math.log(2.0 * math.pi)
     grads = _grad_contraction(it_gp, alpha, ws, Z.T, chunk)
-    return val, grads, it, rel
+    return val, grads, IterStats(it, rel, alpha)

@@ -30,7 +30,7 @@ from gp_ss_ak_tpu.inference.iterative import (
     IterativeGP,
     nlml_and_grad_iterative,
 )
-from gp_ss_ak_tpu.inference.likelihoods import Gaussian
+from gp_ss_ak_tpu.inference.likelihoods import Gaussian, WarpedGaussian
 from gp_ss_ak_tpu.model import GPModel
 from gp_ss_ak_tpu.ops.fused import _is_flagship, mapped_points
 
@@ -41,11 +41,15 @@ DENSE_MAX_N = 16384
 
 
 def supports_iterative(model: GPModel) -> bool:
-    # the engine assumes flat = [kernel params..., sn2] exactly: a model
-    # carrying mean hypers (or >1 lik hyper) would get a short gradient
+    # the engine assumes flat = [kernel params..., lik hypers] exactly:
+    # a model carrying mean hypers would get a short gradient.
+    # WarpedGaussian rides the same conjugate algebra on g(y) with an
+    # alpha-based chain rule for the warp hypers — a capability the
+    # reference EXITS on (GP_Utils.cpp:865-869, "not implemented")
+    lik = model.likelihood
     return (_is_flagship(model.kernel)
-            and isinstance(model.likelihood, Gaussian)
-            and model.n_params == model.kernel.n_params + 1)
+            and isinstance(lik, (Gaussian, WarpedGaussian))
+            and model.n_params == model.kernel.n_params + lik.n_hypers)
 
 
 def make_iterative_value_and_grad(
@@ -83,8 +87,11 @@ def make_iterative_value_and_grad(
             f"Gaussian likelihood; got {model.kernel!r} / "
             f"{type(model.likelihood).__name__}")
     kernel = model.kernel
+    likelihood = model.likelihood
     expans = kernel.children[0]
     nk = kernel.n_params
+    nl = likelihood.n_hypers
+    warped = isinstance(likelihood, WarpedGaussian)
     Xd = jnp.asarray(X, jnp.float32)
     yd = jnp.asarray(y, jnp.float32)
     key_logdet, key_trace = jax.random.split(jax.random.PRNGKey(seed))
@@ -92,12 +99,19 @@ def make_iterative_value_and_grad(
     def vg(flat):
         flat = flat.astype(jnp.float32)
         ep, bp = kernel.unpack(flat[:nk])
-        sn2 = flat[nk] + jnp.float32(jitter)
+        lh = flat[nk : nk + nl]
+        if warped:
+            ymax = jnp.max(yd)
+            gy, lgpy = likelihood.effective_target(lh, yd, ymax)
+            sn2 = likelihood.noise_variance(lh) + jnp.float32(jitter)
+        else:
+            gy, lgpy = yd, jnp.zeros_like(yd)
+            sn2 = lh[0] + jnp.float32(jitter)
         Xm, pullback = jax.vjp(lambda e: mapped_points(expans, e, Xd), ep)
         it_gp = IterativeGP(Xm=Xm, sigma=ep["Sigma"], bias=bp["Sigma"],
                             sn2=sn2)
-        val, (ds, db, dsn2, dXm), cg_it, rel = nlml_and_grad_iterative(
-            it_gp, yd, key_logdet, key_trace, cg_tol=cg_tol,
+        val, (ds, db, dsn2, dXm), stats = nlml_and_grad_iterative(
+            it_gp, gy, key_logdet, key_trace, cg_tol=cg_tol,
             cg_maxiter=cg_maxiter, probes=probes,
             lanczos_iters=lanczos_iters, chunk=chunk, tm=tm, tn=tn,
             interpret=interpret, precond_rank=precond_rank,
@@ -106,8 +120,27 @@ def make_iterative_value_and_grad(
         d_ep = dict(d_ep)
         d_ep["Sigma"] = d_ep["Sigma"] + ds
         g_kernel = kernel.pack((d_ep, {"Sigma": db}))
-        g = jnp.concatenate([g_kernel, jnp.reshape(dsn2, (1,))])
-        return val, g, cg_it, rel
+        if warped:
+            # the warp term: NLML_w = NLML_gauss(gy(w); sn2(w))
+            # - sum log g'(y; w), and d(fit)/dw = alpha' dgy/dw with
+            # alpha = A^-1 gy held fixed (A independent of w); the
+            # noise chain adds dNLML/dsn2 * dsn2/dw. One jax.grad of
+            # this O(n) surrogate carries all three pieces.
+            val = val - jnp.sum(lgpy)
+            alpha_sg = jax.lax.stop_gradient(stats.alpha)
+            dsn2_sg = jax.lax.stop_gradient(dsn2)
+
+            def lik_surrogate(lh_):
+                gy_, lgpy_ = likelihood.effective_target(lh_, yd, ymax)
+                sn2_ = likelihood.noise_variance(lh_)
+                return (jnp.dot(alpha_sg, gy_) - jnp.sum(lgpy_)
+                        + dsn2_sg * sn2_)
+
+            g_lik = jax.grad(lik_surrogate)(lh)
+        else:
+            g_lik = jnp.reshape(dsn2, (1,))
+        g = jnp.concatenate([g_kernel, g_lik])
+        return val, g, stats.cg_iters, stats.rel_residual
 
     jitted = jax.jit(vg)
 

@@ -88,10 +88,14 @@ def make_segmented_value_and_grad(
     objective) but split into bounded dispatches. Defaults mirror
     benchmarks/large_n.STREAM_OPTS — this driver exists for the
     N >~ 10^5 regime where those are the operative settings."""
-    if not supports_iterative(model):
+    from gp_ss_ak_tpu.inference.likelihoods import Gaussian
+
+    if not (supports_iterative(model)
+            and isinstance(model.likelihood, Gaussian)):
         raise ValueError(
             "segmented engine supports only Sum([ExpAns, Bias]) + "
-            f"Gaussian likelihood; got {model.kernel!r} / "
+            "plain Gaussian likelihood (the fused evaluator also "
+            f"handles WarpedGaussian); got {model.kernel!r} / "
             f"{type(model.likelihood).__name__}")
     if interpret is None:
         interpret = not _on_tpu()

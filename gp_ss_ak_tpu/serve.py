@@ -185,13 +185,16 @@ class IterativePredictor:
             streamed_matmat,
         )
         from gp_ss_ak_tpu.ops.pairwise import _on_tpu, _round_up
+        from gp_ss_ak_tpu.inference.likelihoods import Gaussian
         from gp_ss_ak_tpu.optim.iterative_fit import supports_iterative
 
-        if not supports_iterative(model):
+        if not (supports_iterative(model)
+                and isinstance(model.likelihood, Gaussian)):
             raise ValueError(
                 "IterativePredictor supports only Sum([ExpAns, Bias]) "
-                f"+ Gaussian likelihood; got {model.kernel!r} / "
-                f"{type(model.likelihood).__name__}")
+                "+ plain Gaussian likelihood (warped serving goes "
+                f"through the dense Predictor); got {model.kernel!r} "
+                f"/ {type(model.likelihood).__name__}")
         if interpret is None:
             interpret = not _on_tpu()
         self.model = model

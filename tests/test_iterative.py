@@ -254,7 +254,7 @@ class TestFusedValueAndGrad:
         # slq_probes pinned to the separate path's probe count so the
         # two logdet estimators see identical Rademacher draws;
         # mode pinned to the streamed operator (the separate-call path)
-        val_f, grads_f, _, _rel = nlml_and_grad_iterative(
+        val_f, grads_f, _st = nlml_and_grad_iterative(
             it_gp, y, k1, k2, chunk=128, slq_probes=8, mode="stream",
             **kw)
         val_s, alpha, _ = nlml_iterative(it_gp, y, k1, mode="stream",
@@ -352,9 +352,9 @@ class TestMaterializedModes:
         kw = dict(cg_tol=1e-6, cg_maxiter=2000, probes=8,
                   lanczos_iters=24, precond_rank=48, tm=128, tn=128,
                   chunk=128, slq_probes=8)
-        v_g, g_g, _, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
+        v_g, g_g, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
                                               mode="gemm", **kw)
-        v_s, g_s, _, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
+        v_s, g_s, _ = nlml_and_grad_iterative(it_gp, y, k1, k2,
                                               mode="stream", **kw)
         assert float(v_g) == pytest.approx(float(v_s), rel=1e-4,
                                            abs=0.05)
@@ -674,3 +674,67 @@ class TestWhitenedSolve:
         kappa_w = ev[-1] / max(ev[0], 1e-30)
         # raw kappa(A) here is >= 1e4; whitening must crush it
         assert kappa_w < 500.0
+
+
+class TestWarpedIterative:
+    """The matrix-free engine on a WarpedGaussian likelihood — value
+    vs the dense warped NLML, gradient vs finite differences (the
+    reference EXITS on warped hyper gradients, GP_Utils.cpp:865-869)."""
+
+    def make(self, n=320):
+        from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
+        from gp_ss_ak_tpu.model import GPModel, default_model
+
+        from dataclasses import replace
+
+        base = default_model(3, dtype=jnp.float32)
+        lik = WarpedGaussian(family="tanh1", n_triplets=1)
+        model = replace(base, likelihood=lik,
+                        lik_hypers=jnp.asarray([0.2, 0.5, 0.1, -1.5],
+                                               jnp.float32))
+        X = jnp.asarray(RNG.uniform(-1, 1, (n, 3)), jnp.float32)
+        y = jnp.asarray(np.sin(np.asarray(X) @ np.array([3., 1., 2.]))
+                        + 0.05 * RNG.standard_normal(n), jnp.float32)
+        return model, X, y
+
+    def test_supports_and_matches_dense(self):
+        from gp_ss_ak_tpu.inference import nlml as dense_nlml
+        from gp_ss_ak_tpu.optim.iterative_fit import (
+            make_iterative_value_and_grad,
+            supports_iterative,
+        )
+
+        model, X, y = self.make()
+        assert supports_iterative(model)
+        vg = make_iterative_value_and_grad(model, X, y, tm=128, tn=128,
+                                           chunk=128, probes=16,
+                                           cg_tol=1e-6)
+        flat = np.asarray(model.pack(), np.float64)
+        v, g = vg(flat)
+        v_dense = float(dense_nlml(model.kernel, model.kernel_params,
+                                   model.lik_hypers, X, y,
+                                   model.likelihood))
+        # chol mode at this n: exact value up to f32 assembly noise
+        assert v == pytest.approx(v_dense, rel=2e-3, abs=0.5)
+
+    def test_lik_hyper_gradient_finite_difference(self):
+        from gp_ss_ak_tpu.optim.iterative_fit import (
+            make_iterative_value_and_grad,
+        )
+
+        model, X, y = self.make(256)
+        vg = make_iterative_value_and_grad(model, X, y, tm=128, tn=128,
+                                           chunk=128, probes=64,
+                                           cg_tol=1e-7)
+        flat = np.asarray(model.pack(), np.float64)
+        v0, g = vg(flat)
+        nk = model.kernel.n_params
+        # central differences on every likelihood hyper (warp a, b, c
+        # and the log-noise theta)
+        for j in range(nk, flat.shape[0]):
+            h = 1e-3 * max(1.0, abs(flat[j]))
+            fp = flat.copy(); fp[j] += h
+            fm = flat.copy(); fm[j] -= h
+            fd = (vg(fp)[0] - vg(fm)[0]) / (2 * h)
+            assert g[j] == pytest.approx(fd, rel=5e-2, abs=5e-2), (
+                j, g[j], fd)
