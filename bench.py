@@ -271,6 +271,12 @@ def _recorded_story():
                 "cg_iters": r["cg_iters"],
                 "rel_res": r.get("cg_rel_residual")}
         out["stream_tuning_best"] = best_by_n
+    wf = ln.get("fit_warped_32768") or {}
+    if wf and "error" not in wf:
+        out["warped_fit_32768"] = {
+            "warp_nlml_gain_nats": wf.get("warp_nlml_gain_nats"),
+            "eval_s": (wf.get("warped_tanh1") or {}).get(
+                "eval_s_steady_median")}
     sg = ln.get("fit_sgpr_100000") or {}
     if sg and "error" not in sg:
         out["sgpr_100000"] = {k: sg.get(k) for k in
