@@ -70,6 +70,21 @@ if pid == 0:
     print("DIST_OK", v)
 else:
     print("DIST_OK_WORKER", v)
+
+# ring route across the process boundary: whitened batched CG +
+# distributed SLQ with ppermutes spanning the two processes; the
+# parent computed the same deterministic estimator on a 1-process
+# 4-device mesh and passed it in argv[3]
+from gp_ss_ak_tpu.parallel import make_ring_nlml_and_grad
+fr = make_ring_nlml_and_grad(model.kernel, mesh, n=ntrue,
+                             precond_rank=8, probes=4, slq_probes=4,
+                             lanczos_iters=8, cg_tol=1e-10,
+                             cg_maxiter=500)
+vr, gr = fr(model.pack(), Xs, ys)
+vr = float(vr)
+expected = float(sys.argv[3])
+assert abs(vr - expected) <= 1e-6 * abs(expected), (vr, expected)
+print("RING_OK" if pid == 0 else "RING_OK_WORKER", vr)
 """
 
 
@@ -81,11 +96,42 @@ def _free_port():
     return port
 
 
+def _ring_expected():
+    """The ring estimator on a 1-process 4-device mesh — deterministic
+    (fixed probe seed, same mesh shape), so it must equal the
+    2-process value."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gp_ss_ak_tpu.model import default_model
+    from gp_ss_ak_tpu.parallel import (
+        make_mesh,
+        make_ring_nlml_and_grad,
+        shard_training_data,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 20, 3
+    X = rng.normal(size=(n, d))
+    y = np.sin(X[:, 0])
+    model = default_model(input_dim=d, dtype=jnp.float64)
+    mesh = make_mesh(4)
+    Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=4)
+    fr = make_ring_nlml_and_grad(model.kernel, mesh, n=ntrue,
+                                 precond_rank=8, probes=4,
+                                 slq_probes=4, lanczos_iters=8,
+                                 cg_tol=1e-10, cg_maxiter=500)
+    v, _g = fr(model.pack(), Xs, ys)
+    return float(v)
+
+
 def test_two_process_loopback_dist_nlml(tmp_path):
     port = _free_port()
     addr = f"127.0.0.1:{port}"
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
+    ring_expected = _ring_expected()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -94,7 +140,8 @@ def test_two_process_loopback_dist_nlml(tmp_path):
     # the worker re-pins jax_platforms=cpu before first use
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), addr],
+            [sys.executable, str(script), str(pid), addr,
+             repr(ring_expected)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             text=True)
         for pid in range(2)
@@ -123,3 +170,5 @@ def test_two_process_loopback_dist_nlml(tmp_path):
         pytest.fail(f"worker failed:\n{blob[-2000:]}")
     assert "DIST_OK" in outs[0][1], outs[0]
     assert "DIST_OK_WORKER" in outs[1][1], outs[1]
+    assert "RING_OK" in outs[0][1], outs[0]
+    assert "RING_OK_WORKER" in outs[1][1], outs[1]
