@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(HERE))  # repo root, for direct-script runs
 RESULTS = os.path.join(HERE, "results.json")
 
 
-def run_one(n: int, reps: int = 3):
+def run_one(n: int, reps: int = 3, rank_override: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -48,8 +48,15 @@ def run_one(n: int, reps: int = 3):
     model = default_model(3, dtype=jnp.float32)
     mesh = make_mesh(1)
     Xs, ys, n_true, _ = shard_training_data(mesh, X, y, nb=256)
+    from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
+
+    # at P=1 the ring pivoted-chol build is serial-latency-bound (one
+    # psum'd argmax + column per rank step), so past ~16k a leaner
+    # rank beats auto (measured: 1.24 s at rank 64 vs 2.27 s at 682
+    # for N=32768); rank_override picks the measured-better config
+    rank = rank_override if rank_override else auto_precond_rank(n_true)
     f = make_ring_nlml_and_grad(model.kernel, mesh, n=n_true,
-                                precond_rank=64, probes=8,
+                                precond_rank=rank, probes=8,
                                 slq_probes=16, lanczos_iters=32,
                                 cg_tol=1e-4, cg_maxiter=400)
     flat = jnp.asarray(model.pack(), jnp.float32)
@@ -70,7 +77,7 @@ def run_one(n: int, reps: int = 3):
         "nlml": float(v),
         "compile_s": round(compile_s, 1),
         "nlml_grad_ms_chain": round(1e3 * dt, 1),
-        "opts": {"precond_rank": 64, "probes": 8, "slq_probes": 16,
+        "opts": {"precond_rank": rank, "probes": 8, "slq_probes": 16,
                  "lanczos_iters": 32, "cg_tol": 1e-4},
     }
 
@@ -79,6 +86,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="8192,16384")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rank", type=int, default=0,
+                    help="preconditioner rank override (0 = auto)")
     args = ap.parse_args()
 
     import jax
@@ -86,7 +95,8 @@ def main():
     rows = []
     for n in [int(s) for s in args.sizes.split(",")]:
         try:
-            row = run_one(n, reps=args.reps)
+            row = run_one(n, reps=args.reps,
+                          rank_override=args.rank)
         except Exception as e:  # noqa: BLE001 - record ladder failures
             row = {"n": n, "error": str(e)[:300]}
         rows.append(row)
