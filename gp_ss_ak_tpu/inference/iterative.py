@@ -182,6 +182,24 @@ def precond_sqrt_pieces(L: jnp.ndarray, sn2):
     return Q, inv_sqrt_eig, logdet_P
 
 
+def precond_sqrt_fwd_apply(Q: jnp.ndarray, inv_sqrt_eig: jnp.ndarray,
+                           sn2, v):
+    """P^(+1/2) v from the same pieces — the forward square root,
+    used to carry an UNWHITENED warm start into a (new) whitened
+    basis: x0_w = P^(1/2) x_prev. With mask m = inv_sqrt_eig > 0,
+    sqrt(S+sn2) = 1/inv_sqrt_eig on masked columns."""
+    rsn = jnp.sqrt(sn2)
+    sqrt_eig = jnp.where(inv_sqrt_eig > 0, 1.0 / jnp.where(
+        inv_sqrt_eig > 0, inv_sqrt_eig, 1.0), rsn)
+    vm = v if v.ndim == 2 else v[:, None]
+    Qtv = jnp.matmul(Q.T, vm, precision=jax.lax.Precision.HIGHEST)
+    out = (vm - jnp.matmul(Q, Qtv,
+                           precision=jax.lax.Precision.HIGHEST)) * rsn \
+        + jnp.matmul(Q, sqrt_eig[:, None] * Qtv,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out if v.ndim == 2 else out[:, 0]
+
+
 def precond_sqrt_apply(Q: jnp.ndarray, inv_sqrt_eig: jnp.ndarray, sn2, v):
     """P^(-1/2) v from the pieces of `precond_sqrt_pieces`."""
     rsn = 1.0 / jnp.sqrt(sn2)
@@ -257,19 +275,30 @@ def pcg_solve(matvec: Callable, b: jnp.ndarray, pinv: Callable,
 BCG_STALL_ITERS = 25
 
 
-def bcg_init(B_rhs: jnp.ndarray, pinv=None, tol: float = 1e-5):
+def bcg_init(B_rhs: jnp.ndarray, pinv=None, tol: float = 1e-5,
+             X0=None, R0=None):
     """Initial (state, thresh) for the batched-PCG loop — see
     `bcg_segment`. State is a flat tuple of arrays, so it can cross
     dispatch boundaries (the segmented large-N driver carries it on
-    the host between bounded jit segments)."""
+    the host between bounded jit segments).
+
+    Warm start: pass BOTH X0 and its true residual R0 = B - A X0 (the
+    caller owns the matmat). The convergence threshold stays relative
+    to ||B|| — a warm start changes the path, not the contract — and
+    the best-iterate tracking seeds from (X0, ||R0||^2), so a warm
+    start can never return something worse than its own input."""
     B_rhs = jnp.asarray(B_rhs)
-    X = jnp.zeros_like(B_rhs)
-    R = B_rhs
+    if (X0 is None) != (R0 is None):
+        raise ValueError("warm start needs both X0 and R0")
+    X = jnp.zeros_like(B_rhs) if X0 is None else X0
+    R = B_rhs if R0 is None else R0
     Z = pinv(R) if pinv is not None else R
     rz = jnp.sum(R * Z, axis=0)
     rn0 = jnp.sum(B_rhs * B_rhs, axis=0)
+    rn_start = rn0 if R0 is None else jnp.sum(R0 * R0, axis=0)
     thresh = (tol ** 2) * rn0
-    state = (X, R, Z, Z, rz, jnp.asarray(0), X, rn0, jnp.asarray(0))
+    state = (X, R, Z, Z, rz, jnp.asarray(0), X, rn_start,
+             jnp.asarray(0))
     return state, thresh
 
 

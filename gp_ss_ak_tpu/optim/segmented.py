@@ -55,6 +55,7 @@ from gp_ss_ak_tpu.inference.iterative import (
     lanczos_batched_segment,
     pivoted_cholesky,
     precond_sqrt_apply,
+    precond_sqrt_fwd_apply,
     precond_sqrt_pieces,
     slq_quadrature,
 )
@@ -82,6 +83,7 @@ def make_segmented_value_and_grad(
     precond_rank=None,
     slq_probes: int = 32,
     seg_iters: int = 16,
+    warm_start: bool = True,
 ):
     """Host-callable (f, g) with the fused stream evaluator's contract
     (same flagship restriction, same fixed probe keys → deterministic
@@ -140,10 +142,28 @@ def make_segmented_value_and_grad(
         rhs_w = precond_sqrt_apply(
             Q, inv_eig, sn2,
             jnp.concatenate([yd[:, None], Z_grad], axis=1))
-        state, thresh = bcg_init(rhs_w, None, cg_tol)
         carry = lanczos_batched_init(Z_slq)
         return (Xt, norms, scalars, bias, sn2, Q, inv_eig,
-                logdet_P, state, thresh, carry)
+                logdet_P, rhs_w, carry)
+
+    @jax.jit
+    def cold_init_fn(rhs_w):
+        return bcg_init(rhs_w, None, cg_tol)
+
+    @jax.jit
+    def warm_init_fn(Xt, norms, scalars, bias, sn2, Q, inv_eig,
+                     rhs_w, prev_sols):
+        """Warm start from the PREVIOUS eval's (unwhitened) solutions:
+        consecutive line-search hypers are nearby, so A^-1 b barely
+        moves — carrying x_prev into the new whitening basis
+        (x0_w = P^(1/2) x_prev) typically saves a large fraction of
+        the CG passes, at the cost of ONE extra operator pass for the
+        true residual. The convergence contract (relative to ||b||)
+        and best-iterate guarantee are unchanged (bcg_init)."""
+        X0 = precond_sqrt_fwd_apply(Q, inv_eig, sn2, prev_sols)
+        R0 = rhs_w - _wmm(Xt, norms, scalars, bias, sn2, Q, inv_eig,
+                          X0)
+        return bcg_init(rhs_w, None, cg_tol, X0=X0, R0=R0)
 
     @jax.jit
     def bcg_seg_fn(Xt, norms, scalars, bias, sn2, Q, inv_eig, state,
@@ -198,7 +218,13 @@ def make_segmented_value_and_grad(
     def value_and_grad(x_np: np.ndarray):
         flat = jnp.asarray(x_np, jnp.float32)
         (Xt, norms, scalars, bias, sn2, Q, inv_eig,
-         logdet_P, state, thresh, carry) = setup_fn(flat)
+         logdet_P, rhs_w, carry) = setup_fn(flat)
+        prev = value_and_grad._prev_sols
+        if prev is not None and warm_start:
+            state, thresh = warm_init_fn(Xt, norms, scalars, bias,
+                                         sn2, Q, inv_eig, rhs_w, prev)
+        else:
+            state, thresh = cold_init_fn(rhs_w)
 
         it = 0
         rel = None
@@ -212,6 +238,7 @@ def make_segmented_value_and_grad(
             if bool(done):
                 break
         sols = unwhiten_fn(Q, inv_eig, sn2, state[6])  # best iterates
+        value_and_grad._prev_sols = sols
         alpha, ws = sols[:, 0], sols[:, 1:].T
 
         alphas_parts, betas_parts = [], []
@@ -236,4 +263,5 @@ def make_segmented_value_and_grad(
     value_and_grad.last_cg_iters = None
     value_and_grad.last_rel_residual = None
     value_and_grad.precond_rank = rank
+    value_and_grad._prev_sols = None
     return value_and_grad

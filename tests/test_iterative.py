@@ -738,3 +738,36 @@ class TestWarpedIterative:
             fd = (vg(fp)[0] - vg(fm)[0]) / (2 * h)
             assert g[j] == pytest.approx(fd, rel=5e-2, abs=5e-2), (
                 j, g[j], fd)
+
+
+def test_segmented_warm_start_fewer_iters_same_answer():
+    """Warm-started line-search evals converge in FEWER CG iterations
+    to the same (within-tolerance) objective as cold starts."""
+    from gp_ss_ak_tpu.optim.segmented import (
+        make_segmented_value_and_grad,
+    )
+
+    model, X, y, _ = setup(n=640)
+    flat = np.asarray(model.pack(), np.float64)
+    flat2 = flat * (1.0 + 1e-3)
+    opts = dict(seed=0, probes=4, lanczos_iters=10, cg_tol=1e-5,
+                slq_probes=8, tm=128, tn=128, seg_iters=16)
+
+    cold = make_segmented_value_and_grad(model, X, y,
+                                         warm_start=False, **opts)
+    v1c, _ = cold(flat)
+    v2c, g2c = cold(flat2)
+    it_cold = cold.last_cg_iters
+
+    warm = make_segmented_value_and_grad(model, X, y,
+                                         warm_start=True, **opts)
+    v1w, _ = warm(flat)
+    v2w, g2w = warm(flat2)
+    it_warm = warm.last_cg_iters
+
+    assert v1w == pytest.approx(v1c, rel=1e-6)     # first eval: cold
+    assert it_warm < it_cold                       # second: warm wins
+    assert warm.last_rel_residual <= 1e-5 * 1.05
+    # same estimator to solve-tolerance agreement
+    assert v2w == pytest.approx(v2c, rel=1e-4)
+    np.testing.assert_allclose(g2w, g2c, rtol=2e-3, atol=1e-4)
