@@ -360,10 +360,14 @@ def bcg_segment(matmat: Callable, pinv, state, thresh, it_cap: int):
     return lax.while_loop(cond, body, state)
 
 
-def bcg_done(state, thresh, pinv=True) -> jnp.ndarray:
+def bcg_done(state, thresh, *, pinv) -> jnp.ndarray:
     """True when the PCG state has converged or stalled (resuming with
     a larger cap would do nothing). Matches bcg_segment's cond; pass
-    pinv=None for an unpreconditioned solve's longer stall window."""
+    the SAME pinv the segment loop uses (None for an unpreconditioned
+    solve's 4x stall window) — `pinv` is keyword-required precisely so
+    a host driver cannot silently pair the short preconditioned stall
+    window with an unpreconditioned segment loop and declare the solve
+    done up to 75 iterations early."""
     _X, R, _Z, _P, _rz, _it, _Xb, _rb, stall = state
     rn = jnp.sum(R * R, axis=0)
     still = jnp.any((rn > thresh) & jnp.isfinite(rn))

@@ -82,6 +82,7 @@ class DenseBFGS:
         H = np.eye(p)
         trace = [f]
         converged = False
+        stop_reason = "maxiter"
         it = 0
         first_pair = True
 
@@ -89,6 +90,7 @@ class DenseBFGS:
             pg = x - np.clip(x - g, lb, ub)
             if np.max(np.abs(pg)) < self.gtol:
                 converged = True
+                stop_reason = "projected_gradient_tol"
                 break
 
             # active-set handling: variables sitting on (or numerically
@@ -106,6 +108,7 @@ class DenseBFGS:
                          0.0, d)
             if not np.any(d):
                 converged = True
+                stop_reason = "all_directions_blocked"
                 break
 
             # reference bound handling: shrink the whole step by 1.2
@@ -120,6 +123,7 @@ class DenseBFGS:
                 # reference instead stalls with steplength=0,
                 # Opt_pars.cpp:501)
                 converged = True
+                stop_reason = "step_fully_blocked"
                 break
             limited = t_max < 1.0 - 1e-12
 
@@ -145,6 +149,7 @@ class DenseBFGS:
                     H = np.eye(p)  # retry from steepest descent next iter
                     continue
                 converged = True
+                stop_reason = "line_search_no_progress"
                 break
 
             s = x_new - x
@@ -182,9 +187,11 @@ class DenseBFGS:
                     and abs(trace[-2] - trace[-1]) <= self.tol * (
                         1.0 + abs(trace[-1]))):
                 converged = True
+                stop_reason = "objective_rel_change_tol"
                 break
 
-        return OptResult(best_x, best_f, it, n_evals[0], converged, trace)
+        return OptResult(best_x, best_f, it, n_evals[0], converged, trace,
+                         stop_reason)
 
 
 def _strong_wolfe(fg, x, f0, g0, d, t_max, c1, c2, max_ls):

@@ -44,6 +44,12 @@ class OptResult(NamedTuple):
     n_evals: int
     converged: bool
     trace: list  # per-iteration objective values
+    #: why the optimizer stopped — the convergence CONTRACT for fit
+    #: rows ("converged" must be data, not assertion): one of
+    #: "projected_gradient_tol", "objective_rel_change_tol",
+    #: "line_search_no_progress", "maxiter", "gradient_tol",
+    #: "sigma_collapse", or "" (legacy constructors)
+    stop_reason: str = ""
 
 
 @dataclass
@@ -51,6 +57,10 @@ class LBFGSB:
     maxiter: int = 100           # reference default (Opt_pars.h:30-40)
     memory: int = 6              # mnc pairs
     tol: float = 1e-9            # relative objective-change tolerance
+    tol_iters: int = 1           # consecutive iters under tol required
+    # (large-N fits pass e.g. tol=1e-5, tol_iters=2: stop once the
+    # objective has plateaued for 2 straight iterations — the explicit
+    # stopping rule recorded in OptResult.stop_reason)
     gtol: float = 1e-6           # projected-gradient tolerance
     armijo_c1: float = 1e-4
     max_backtracks: int = 25
@@ -91,6 +101,8 @@ class LBFGSB:
         S, Y = [], []
         trace = [f]
         converged = False
+        stop_reason = "maxiter"
+        flat_iters = 0          # consecutive iters under the rel tol
         it = 0
 
         for it in range(1, self.maxiter + 1):
@@ -98,6 +110,7 @@ class LBFGSB:
             pg = x - np.clip(x - g, lb, ub)
             if np.max(np.abs(pg)) < self.gtol:
                 converged = True
+                stop_reason = "projected_gradient_tol"
                 break
 
             d = -self._two_loop(g, S, Y)
@@ -126,6 +139,7 @@ class LBFGSB:
                         fg, x, f, g, -g, lb, ub, 1.0)
                 if not accepted:
                     converged = True  # no progress possible
+                    stop_reason = "line_search_no_progress"
                     break
 
             s = x_new - x
@@ -149,10 +163,16 @@ class LBFGSB:
                 print(f"[lbfgsb] iter {it:4d}  -logL {f:.8f}")
             if len(trace) > 1 and abs(trace[-2] - trace[-1]) <= self.tol * (
                     1.0 + abs(trace[-1])):
-                converged = True
-                break
+                flat_iters += 1
+                if flat_iters >= self.tol_iters:
+                    converged = True
+                    stop_reason = "objective_rel_change_tol"
+                    break
+            else:
+                flat_iters = 0
 
-        return OptResult(best_x, best_f, it, n_evals[0], converged, trace)
+        return OptResult(best_x, best_f, it, n_evals[0], converged, trace,
+                         stop_reason)
 
     def _search(self, fg, x, f, g, d, lb, ub, t0):
         if self.line_search == "potra":

@@ -65,6 +65,7 @@ class SCG:
         best_x, best_f = x.copy(), f
         trace = [f]
         converged = False
+        stop_reason = "maxiter"
         it = 0
 
         for it in range(1, self.maxiter + 1):
@@ -72,6 +73,7 @@ class SCG:
                 mu = float(np.dot(d, d))
                 if mu < 1e-30:
                     converged = True
+                    stop_reason = "direction_collapse"
                     break
                 sigma = self.sigma0 / np.sqrt(mu)
                 _, g_plus = fg(x + sigma * d)
@@ -108,6 +110,7 @@ class SCG:
                     print(f"[scg] iter {it:4d}  -logL {f:.8f}")
                 if abs(f_prev - f) < self.tol:
                     converged = True
+                    stop_reason = "objective_rel_change_tol"
                     break
                 if it % p == 0:  # restart (Opt_pars.cpp restart policy)
                     d = r_new
@@ -125,4 +128,5 @@ class SCG:
                 lam += (delta * (1.0 - Delta) / mu) if mu > 0 else lam
                 lam = min(lam, 1e15)
 
-        return OptResult(best_x, best_f, it, n_evals[0], converged, trace)
+        return OptResult(best_x, best_f, it, n_evals[0], converged, trace,
+                         stop_reason)

@@ -89,7 +89,18 @@ def make_segmented_value_and_grad(
     (same flagship restriction, same fixed probe keys → deterministic
     objective) but split into bounded dispatches. Defaults mirror
     benchmarks/large_n.STREAM_OPTS — this driver exists for the
-    N >~ 10^5 regime where those are the operative settings."""
+    N >~ 10^5 regime where those are the operative settings.
+
+    Determinism caveat: with `warm_start=True` (the default) each CG
+    solve starts from the previous evaluation's solution, so
+    re-evaluating the same hyper vector after a DIFFERENT one returns
+    a value/gradient that differs at the CG-tolerance level (the
+    converged solutions agree to `cg_tol`, not bitwise). The fixed
+    probe keys keep the *estimator* deterministic; the warm start
+    makes the *solver path* history-dependent. If an optimizer
+    line-search anomaly needs ruling out, pass `warm_start=False` for
+    a bitwise path-independent objective (each eval then pays full
+    CG iterations from zero)."""
     from gp_ss_ak_tpu.inference.likelihoods import Gaussian
 
     if not (supports_iterative(model)

@@ -292,6 +292,83 @@ def _ring_pivoted_chol(Xm, row_valid, g, sigma, bias, rank, n_pad,
     return L
 
 
+GATHERED_PIVCHOL_MAX_BYTES = 2 << 30  # full-L transient budget/device
+
+
+def _ring_pivoted_chol_gathered(Xm, row_valid, g, sigma, bias, rank,
+                                n_pad, axis):
+    """Replicated-build pivoted Cholesky: all_gather the metric-mapped
+    points (n_pad x d — ~1 MB at N=10^5, trivial next to one ring
+    pass) and run the SAME greedy max-diagonal recursion as the
+    single-chip `inference.iterative.pivoted_cholesky` identically on
+    every device, then slice the local row block.
+
+    Why this exists: the per-step distributed build
+    (`_ring_pivoted_chol`) pays one pmax + pmin + two psums of
+    LATENCY-bound collectives per rank step PLUS two full masked
+    (n_local, rank) array sweeps for the owner-row extraction — at
+    rank ~ n/48 that serial chain dominates the whole evaluation
+    (measured r4: N=32768 ring eval 2.27 s at rank 682 vs 1.24 s at
+    rank 64, which is why the r4 rows ran a lean rank the stream
+    engine doesn't use). Here each step is one argmax + one
+    O(n_pad d) column + one (n_pad, rank) matvec, all local; the
+    P-fold compute redundancy is irrelevant because the build was
+    never sharded-compute-bound, it was latency-bound.
+
+    Transient cost: the full (n_pad, rank) L on every device during
+    the build (sliced immediately after). Callers fall back to the
+    distributed build past GATHERED_PIVCHOL_MAX_BYTES.
+    """
+    from gp_ss_ak_tpu.utils.vma import pvary_like
+
+    s2 = sigma * sigma
+    n_local = Xm.shape[0]
+    X_all = lax.all_gather(Xm, axis, tiled=True)          # (n_pad, d)
+    valid_all = lax.all_gather(row_valid, axis, tiled=True)
+    d0 = jnp.where(valid_all, s2 + bias, jnp.zeros((), Xm.dtype))
+    d0 = pvary_like(d0, X_all)
+
+    def column(i):
+        xi = lax.dynamic_slice_in_dim(X_all, i, 1, 0)
+        r = jnp.sqrt(jnp.maximum(
+            jnp.sum((X_all - xi) ** 2, axis=1), 0.0))
+        c = s2 * jnp.exp(-r) + bias
+        return c.at[i].set(s2 + bias)                     # exact diag
+
+    def body(j, carry):
+        L, d = carry
+        i = jnp.argmax(d)
+        c = column(i)
+        Li = jnp.take(L, i, axis=0)
+        # HIGHEST is load-bearing (see inference.iterative
+        # .pivoted_cholesky): bf16 matmul error inside the c - L Li
+        # cancellation poisons late columns at rank >= ~512
+        l = (c - jnp.matmul(L, Li, precision=_PREC)) \
+            / jnp.sqrt(jnp.maximum(d[i], 1e-30))
+        l = jnp.where((d[i] > 1e-30) & valid_all, l, 0.0)
+        L = L.at[:, j].set(l)
+        d = jnp.maximum(d - l * l, 0.0)
+        d = d.at[i].set(0.0)
+        return (L, d)
+
+    L0 = pvary_like(jnp.zeros((n_pad, rank), Xm.dtype), X_all)
+    L, _ = lax.fori_loop(0, rank, body, (L0, d0))
+    p = lax.axis_index(axis)
+    return lax.dynamic_slice(
+        L, (p * n_local, jnp.zeros((), p.dtype)), (n_local, rank))
+
+
+def _ring_pivchol_dispatch(Xm, row_valid, g, sigma, bias, rank, n_pad,
+                           axis):
+    """Gathered (replicated) build when the full-L transient fits the
+    per-device budget, else the per-step distributed build."""
+    if n_pad * rank * Xm.dtype.itemsize <= GATHERED_PIVCHOL_MAX_BYTES:
+        return _ring_pivoted_chol_gathered(Xm, row_valid, g, sigma,
+                                           bias, rank, n_pad, axis)
+    return _ring_pivoted_chol(Xm, row_valid, g, sigma, bias, rank,
+                              n_pad, axis)
+
+
 def _ring_precond(L_local, sn2, n_true, axis):
     """Distributed Woodbury P^-1, exact P^(-1/2), and logdet P for
     P = L L^T + sn2 I over the VALID n_true-dimensional subspace —
@@ -524,8 +601,8 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
                                          axis)
         matmat = _ring_matmat_fn(Xm, row_valid, g, n, sigma, bias, sn2,
                                  P_sz, axis)
-        L_local = _ring_pivoted_chol(Xm, row_valid, g, sigma, bias,
-                                     precond_rank, n_pad, axis)
+        L_local = _ring_pivchol_dispatch(Xm, row_valid, g, sigma, bias,
+                                         precond_rank, n_pad, axis)
         pinv, inv_sqrt, logdet_P = _ring_precond(L_local, sn2, n, axis)
 
         # probes: replicated global draw, zeroed on padding, local slice
@@ -697,8 +774,9 @@ def make_ring_predict(kernel, mesh: Mesh, n: int, n_devices: int = None,
         yz = jnp.where(row_valid, y_local, 0.0)
         rhs = jnp.concatenate([yz[:, None], kX], axis=1)
         if precond_rank:
-            L_local = _ring_pivoted_chol(Xm, row_valid, g, sigma, bias,
-                                         precond_rank, n_pad, axis)
+            L_local = _ring_pivchol_dispatch(Xm, row_valid, g, sigma,
+                                             bias, precond_rank, n_pad,
+                                             axis)
             _pinv, inv_sqrt, _ld = _ring_precond(L_local, sn2, n, axis)
             # whitened CG — f32-stable (see make_ring_nlml_and_grad)
             sols_w, _it = _ring_bcg(

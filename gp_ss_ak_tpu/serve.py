@@ -164,9 +164,18 @@ class IterativePredictor:
              streamed Gram pass), clamped >= 0 BEFORE the noise add —
              the reference's order (GP_Utils.cpp:1002-1041).
 
-    Flagship model only (Sum([ExpAns, Bias]) + Gaussian), like the
-    training engine. `mean_only` callers (e.g. large-N MSE reports)
-    never pay for solves after setup.
+    Flagship kernel only (Sum([ExpAns, Bias])), like the training
+    engine; both plain Gaussian AND WarpedGaussian likelihoods are
+    served. For warped models the conjugate algebra runs on g(y)
+    (alpha = (K + sn2 I)^-1 g(y), sn2 = exp(2 theta)) and the latent
+    Gaussian (mu, var) at each query is pushed through g^{-1} with the
+    same 20-node Gauss-Hermite mix as the dense path
+    (gaussian.warped_predictive_mix; GP_Utils.cpp:1044-1078) — the
+    reference's warped-prediction contract past the dense N~32k wall.
+    `mean_only` callers (e.g. large-N MSE reports) skip the
+    per-batch variance solves for plain Gaussian models; the warped
+    predictive mean depends on the latent VARIANCE (the quadrature
+    mixes over sigma), so warped `mean_only` still pays the solve.
     """
 
     def __init__(self, model: GPModel, X, y, precond_rank=None,
@@ -185,23 +194,32 @@ class IterativePredictor:
             streamed_matmat,
         )
         from gp_ss_ak_tpu.ops.pairwise import _on_tpu, _round_up
-        from gp_ss_ak_tpu.inference.likelihoods import Gaussian
+        from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
         from gp_ss_ak_tpu.optim.iterative_fit import supports_iterative
 
-        if not (supports_iterative(model)
-                and isinstance(model.likelihood, Gaussian)):
+        if not supports_iterative(model):
             raise ValueError(
                 "IterativePredictor supports only Sum([ExpAns, Bias]) "
-                "+ plain Gaussian likelihood (warped serving goes "
-                f"through the dense Predictor); got {model.kernel!r} "
-                f"/ {type(model.likelihood).__name__}")
+                "with a (Warped)Gaussian likelihood; got "
+                f"{model.kernel!r} / {type(model.likelihood).__name__}")
         if interpret is None:
             interpret = not _on_tpu()
         self.model = model
         ep, bp = model.kernel_params
         expans = model.kernel.children[0]
         Xd = jnp.asarray(X, jnp.float32)
-        yd = jnp.asarray(y, jnp.float32)
+        yraw = jnp.asarray(y, jnp.float32)
+        lik = model.likelihood
+        lh = jnp.asarray(model.lik_hypers, jnp.float32).reshape(-1)
+        self.likelihood = lik
+        self.lik_hypers = lh
+        self.warped = isinstance(lik, WarpedGaussian)
+        # rbf warp families clamp their centres at max(raw y)
+        self.y_max = jnp.max(yraw)
+        if self.warped:
+            yd, _lgpy = lik.effective_target(lh, yraw, self.y_max)
+        else:
+            yd = yraw
         n = Xd.shape[0]
         self.n = n
         self.cg_tol = cg_tol
@@ -222,7 +240,7 @@ class IterativePredictor:
         self._c, self._M = c, M
         self._pad_to_3d = pad_to_3d
         sigma, bias = ep["Sigma"], bp["Sigma"]
-        sn2 = jnp.asarray(model.lik_hypers, jnp.float32).reshape(-1)[0]
+        sn2 = jnp.asarray(lik.noise_variance(lh), jnp.float32)
         self.s2 = sigma * sigma
         self.bias = bias
         self.sn2 = sn2
@@ -330,12 +348,28 @@ class IterativePredictor:
         # GP_Utils.cpp:1002-1041
         return jnp.maximum(var, 0.0) + self.sn2
 
+    @functools.cached_property
+    def _warp_mix_fn(self):
+        """Jitted 20-node Gauss-Hermite push of the latent Gaussian
+        through g^{-1} (gaussian.warped_predictive_mix), per batch."""
+        lik, lh, ymax = self.likelihood, self.lik_hypers, self.y_max
+
+        @jax.jit
+        def mix(mu, var):
+            return gaussian.warped_predictive_mix(lik, lh, mu, var,
+                                                  ymax)
+
+        return mix
+
     def __call__(self, Xstar, batch_size: int = 4096,
                  mean_only: bool = False
                  ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         Xs = np.asarray(Xstar)
         m = Xs.shape[0]
         mus, vars_ = [], []
+        # the warped predictive mean mixes over the latent sigma, so
+        # warped mean_only still needs the variance solve
+        need_var = (not mean_only) or self.warped
         for start in range(0, m, batch_size):
             chunk = Xs[start : start + batch_size]
             pad = batch_size - chunk.shape[0]
@@ -344,8 +378,12 @@ class IterativePredictor:
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)])
             Xsm = self._map_queries(chunk)
             take = batch_size - pad
-            mus.append(np.asarray(self._mean_fn(Xsm))[:take])
+            mu_b = self._mean_fn(Xsm)
+            var_b = self._var_batch(Xsm) if need_var else None
+            if self.warped:
+                mu_b, var_b = self._warp_mix_fn(mu_b, var_b)
+            mus.append(np.asarray(mu_b)[:take])
             if not mean_only:
-                vars_.append(np.asarray(self._var_batch(Xsm))[:take])
+                vars_.append(np.asarray(var_b)[:take])
         mu = np.concatenate(mus)
         return mu, (None if mean_only else np.concatenate(vars_))

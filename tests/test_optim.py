@@ -169,6 +169,42 @@ class TestPotraShiSearch:
             quad_vg(A, b), np.full(3, 2.0))
         np.testing.assert_allclose(res.x, 1.0, atol=1e-4)
 
+    def test_stop_reason_contract(self):
+        """Fit rows need 'converged' as data: every host optimizer
+        records WHICH stopping rule fired (VERDICT r4 #7)."""
+        from gp_ss_ak_tpu.optim import LBFGSB, SCG, DenseBFGS
+
+        A = np.diag([1.0, 2.0, 3.0])
+        b = np.array([1.0, 2.0, 3.0])
+        for opt in (LBFGSB(maxiter=100), SCG(maxiter=200),
+                    DenseBFGS(maxiter=100)):
+            res = opt.minimize(quad_vg(A, b), np.full(3, 2.0))
+            assert res.converged
+            assert res.stop_reason in (
+                "projected_gradient_tol", "objective_rel_change_tol",
+                "gradient_tol", "direction_collapse"), (
+                type(opt).__name__, res.stop_reason)
+        # maxiter is recorded when the budget runs out un-converged
+        res = LBFGSB(maxiter=1, tol=0.0, gtol=0.0).minimize(
+            quad_vg(A, b), np.full(3, 2.0))
+        assert res.stop_reason == "maxiter"
+
+    def test_lbfgsb_tol_iters_requires_consecutive_flats(self):
+        """tol_iters=k: the rel-change rule must see k CONSECUTIVE
+        flat iterations before declaring convergence (the large-fit
+        plateau contract)."""
+        from gp_ss_ak_tpu.optim import LBFGSB
+
+        A = np.diag([1.0, 2.0, 3.0])
+        b = np.array([1.0, 2.0, 3.0])
+        r1 = LBFGSB(maxiter=100, tol=1e-6, tol_iters=1).minimize(
+            quad_vg(A, b), np.full(3, 2.0))
+        r2 = LBFGSB(maxiter=100, tol=1e-6, tol_iters=3).minimize(
+            quad_vg(A, b), np.full(3, 2.0))
+        assert r2.converged
+        assert r2.n_iters >= r1.n_iters
+        np.testing.assert_allclose(r2.x, 1.0, atol=1e-5)
+
     def test_bounds_step_shrink(self):
         from gp_ss_ak_tpu.optim import DenseBFGS
 

@@ -2,6 +2,7 @@
 8-device CPU mesh — the same shard_map code paths that run on a TPU
 slice (SURVEY.md §4.3)."""
 
+import functools
 import math
 
 import jax
@@ -487,6 +488,56 @@ class TestRing:
                           model.likelihood)
         np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestRingPivchol:
+    """The two ring preconditioner builds must agree: the gathered
+    (replicated, latency-free) build is the default inside the budget,
+    the per-step distributed build is the fallback past it — a silent
+    divergence between them would make the preconditioner (and hence
+    every CG trip count) depend on the memory budget."""
+
+    def test_gathered_matches_distributed(self, mesh):
+        from gp_ss_ak_tpu.parallel.ring import (
+            _mapped_local,
+            _ring_pivoted_chol,
+            _ring_pivoted_chol_gathered,
+        )
+        from gp_ss_ak_tpu.parallel.mesh import ROW_AXIS as AX
+
+        n, rank = 53, 12
+        X = RNG.normal(size=(n, 3))
+        y = np.zeros(n)
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, _ys, ntrue, n_pad = shard_training_data(mesh, X, y, nb=NB)
+        flat = model.pack()
+        nk = model.kernel.n_params
+        kernel = model.kernel
+
+        def body(which, flat, X_local):
+            params = kernel.unpack(flat[:nk])
+            ep, bp = params
+            sigma, bias = ep["Sigma"], bp["Sigma"]
+            Xm, g, rv = _mapped_local(kernel, params, X_local, ntrue,
+                                      AX)
+            fn = (_ring_pivoted_chol_gathered if which == "g"
+                  else _ring_pivoted_chol)
+            return fn(Xm, rv, g, sigma, bias, rank, n_pad, AX)
+
+        outs = {}
+        for which in ("g", "d"):
+            mapped = jax.shard_map(
+                functools.partial(body, which), mesh=mesh,
+                in_specs=(P(), P(ROW_AXIS)), out_specs=P(ROW_AXIS))
+            outs[which] = np.asarray(jax.jit(mapped)(flat, Xs))
+        np.testing.assert_allclose(outs["g"], outs["d"],
+                                   rtol=1e-9, atol=1e-10)
+        # and both reconstruct K on the valid block reasonably
+        K = np.asarray(kernel.matrix(model.kernel_params,
+                                     jnp.asarray(X), jnp.asarray(X),
+                                     same=True))
+        L = outs["g"][:n]
+        assert np.linalg.norm(K - L @ L.T) / np.linalg.norm(K) < 0.5
 
 
 class TestRingTraining:

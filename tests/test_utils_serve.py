@@ -205,6 +205,42 @@ class TestIterativePredictor:
         with pytest.raises(ValueError):
             IterativePredictor(model, X, np.zeros(8))
 
+    def test_warped_matches_dense_predict(self):
+        """WarpedGaussian serving: the matrix-free route must agree
+        with the dense Gauss-Hermite path (gaussian.predict) — the
+        reference's warped posteriorMeanVar (GP_Utils.cpp:1044-1078)
+        extended past the dense wall (VERDICT r4 #2)."""
+        from dataclasses import replace
+
+        from gp_ss_ak_tpu.inference.likelihoods import WarpedGaussian
+        from gp_ss_ak_tpu.serve import IterativePredictor
+
+        model, X, y = self.make(320)
+        lik = WarpedGaussian(family="tanh1", n_triplets=1)
+        model = replace(
+            model, likelihood=lik,
+            lik_hypers=jnp.asarray([0.2, 0.5, 0.1, -1.5], jnp.float32))
+        # skewed positive targets — the regime the warp exists for
+        y = np.exp(0.8 * y)
+        Xs = np.random.default_rng(11).uniform(-1, 1, (48, 3))
+
+        mu_d, var_d = predict(
+            model.kernel, model.kernel_params, model.lik_hypers,
+            jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.asarray(Xs, jnp.float32), model.likelihood)
+        it = IterativePredictor(model, X, y, precond_rank=64,
+                                cg_tol=1e-7, chunk=128)
+        mu_i, var_i = it(Xs, batch_size=64)
+        np.testing.assert_allclose(mu_i, np.asarray(mu_d),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(var_i, np.asarray(var_d),
+                                   rtol=5e-3, atol=5e-4)
+        # warped mean_only still mixes over the latent variance:
+        # the mean must be identical to the full call's
+        mu_o, none = it(Xs, batch_size=64, mean_only=True)
+        assert none is None
+        np.testing.assert_allclose(mu_o, mu_i, rtol=1e-6, atol=1e-7)
+
 
 def test_blocked_linv_matches_single_shot():
     from gp_ss_ak_tpu.serve import blocked_linv
