@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.dirname(HERE))  # repo root, for direct-script runs
 RESULTS = os.path.join(HERE, "results.json")
 
 
+#: the stream engine's operative settings (benchmarks/large_n
+#: .STREAM_OPTS) — ring rows are recorded at the SAME settings so the
+#: two engines are directly comparable per eval (VERDICT r4 #1/#8)
+TUNED_OPTS = dict(probes=8, slq_probes=32, lanczos_iters=16,
+                  cg_tol=1e-3, cg_maxiter=800)
+
+
 def run_one(n: int, reps: int = 3, rank_override: int = 0):
     import jax
     import jax.numpy as jnp
@@ -50,24 +57,23 @@ def run_one(n: int, reps: int = 3, rank_override: int = 0):
     Xs, ys, n_true, _ = shard_training_data(mesh, X, y, nb=256)
     from gp_ss_ak_tpu.inference.iterative import auto_precond_rank
 
-    # at P=1 the ring pivoted-chol build is serial-latency-bound (one
-    # psum'd argmax + column per rank step), so past ~16k a leaner
-    # rank beats auto (measured: 1.24 s at rank 64 vs 2.27 s at 682
-    # for N=32768); rank_override picks the measured-better config
+    # auto rank (the stream engine's tuned default) is affordable here
+    # since r5's gathered preconditioner build removed the per-step
+    # collective chain that made high ranks latency-bound at P=1
     rank = rank_override if rank_override else auto_precond_rank(n_true)
     f = make_ring_nlml_and_grad(model.kernel, mesh, n=n_true,
-                                precond_rank=rank, probes=8,
-                                slq_probes=16, lanczos_iters=32,
-                                cg_tol=1e-4, cg_maxiter=400)
+                                precond_rank=rank, with_stats=True,
+                                **TUNED_OPTS)
     flat = jnp.asarray(model.pack(), jnp.float32)
     t0 = time.perf_counter()
-    v, g = jax.block_until_ready(f(flat, Xs, ys))
+    v, g, st = jax.block_until_ready(f(flat, Xs, ys))
     compile_s = time.perf_counter() - t0
     assert np.isfinite(float(v)), f"ring NLML not finite at N={n}"
     assert np.isfinite(np.asarray(g)).all()
+    cg_iters, rel_res = int(st[0]), float(st[1])
 
     def step(fl, s):
-        v_, g_ = f(fl * (1.0 + s * 1e-12), Xs, ys)
+        v_, g_, _st = f(fl * (1.0 + s * 1e-12), Xs, ys)
         return v_ * jnp.float32(1e-6) + jnp.sum(g_) * jnp.float32(1e-9)
 
     dt = chain_timeit(step, flat, reps=reps)
@@ -77,8 +83,9 @@ def run_one(n: int, reps: int = 3, rank_override: int = 0):
         "nlml": float(v),
         "compile_s": round(compile_s, 1),
         "nlml_grad_ms_chain": round(1e3 * dt, 1),
-        "opts": {"precond_rank": rank, "probes": 8, "slq_probes": 16,
-                 "lanczos_iters": 32, "cg_tol": 1e-4},
+        "cg_iters": cg_iters,
+        "rel_residual": rel_res,
+        "opts": {"precond_rank": rank, **TUNED_OPTS},
     }
 
 

@@ -109,11 +109,14 @@ def init_inducing(X, m: int, seed: int = 0) -> jnp.ndarray:
 
 
 def fit_sgpr(model, X, y, m: int = 128, iters: int = 100, seed: int = 0,
-             z_bound: float = None, jitter: float = 1e-6, verbose: int = 0):
+             z_bound: float = None, jitter: float = 1e-6, verbose: int = 0,
+             optimize_z: bool = True):
     """Joint bound-constrained L-BFGS over hypers AND inducing
     locations. Hypers keep the reference box [1e-4, 6]; inducing
-    coordinates get +-z_bound (default: 2x the data range). Returns
-    (fitted_model, Z, OptResult)."""
+    coordinates get +-z_bound (default: 2x the data range).
+    `optimize_z=False` freezes Z at the k-means++-style subset init
+    (init_inducing) and optimizes hypers only — the ablation arm of
+    the m-sweep trade curve. Returns (fitted_model, Z, OptResult)."""
     from dataclasses import replace as _replace
 
     import jax as _jax
@@ -138,7 +141,10 @@ def fit_sgpr(model, X, y, m: int = 128, iters: int = 100, seed: int = 0,
     def unpack(v):
         kp = kern.unpack(v[:nk])
         lh = v[nk : nk + nl]
-        Z = v[nk + nl :].reshape(m_eff, d)
+        if optimize_z:
+            Z = v[nk + nl :].reshape(m_eff, d)
+        else:
+            Z = Z0.astype(v.dtype)
         return kp, lh, Z
 
     def loss(v):
@@ -151,15 +157,17 @@ def fit_sgpr(model, X, y, m: int = 128, iters: int = 100, seed: int = 0,
         val, g = vg(jnp.asarray(x, dtype))
         return float(val), np.asarray(g, np.float64)
 
-    v0 = np.concatenate([
-        np.asarray(kern.pack(model.kernel_params), np.float64),
-        np.asarray(model.lik_hypers, np.float64),
-        np.asarray(Z0, np.float64).ravel(),
-    ])
-    lb = np.concatenate([np.full(nk + nl, DEFAULT_LOWER),
-                         np.full(m_eff * d, -z_bound)])
-    ub = np.concatenate([np.full(nk + nl, DEFAULT_UPPER),
-                         np.full(m_eff * d, z_bound)])
+    v0 = np.asarray(
+        np.concatenate([
+            np.asarray(kern.pack(model.kernel_params), np.float64),
+            np.asarray(model.lik_hypers, np.float64),
+        ]), np.float64)
+    lb = np.full(nk + nl, DEFAULT_LOWER)
+    ub = np.full(nk + nl, DEFAULT_UPPER)
+    if optimize_z:
+        v0 = np.concatenate([v0, np.asarray(Z0, np.float64).ravel()])
+        lb = np.concatenate([lb, np.full(m_eff * d, -z_bound)])
+        ub = np.concatenate([ub, np.full(m_eff * d, z_bound)])
     res = LBFGSB(maxiter=iters, verbose=verbose).minimize(vgrad, v0, lb, ub)
     kp, lh, Z = unpack(jnp.asarray(res.x, dtype))
     fitted = _replace(model, kernel_params=kp, lik_hypers=lh,

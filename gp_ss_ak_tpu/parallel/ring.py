@@ -215,23 +215,69 @@ def make_ring_cg_solve(kernel, mesh: Mesh, n: int, n_devices: int = None,
     return jax.jit(mapped)
 
 
-def _ring_matmat_fn(Xm, row_valid, g, n, sigma, bias, sn2, P_sz, axis):
+#: default ceiling on the materialized tile's COLUMN count: one
+#: (n_local, tile_chunk) panel instead of the full (n_local, n_local)
+#: tile, so per-device memory is bounded by n_local * chunk however
+#: large N/P gets (an (n_local)^2 tile is 17 GB at n_local = 65536 —
+#: past HBM on a 16 GB v5e, and the 1-device measurement regime of
+#: benchmarks/ring_timing.py IS n_local = N)
+TILE_CHUNK = 4096
+
+
+def _pick_chunk(n_local: int, want: int) -> int:
+    """Largest divisor of n_local that is <= want (tile panels must
+    align exactly — a clamped tail slice would double-count rows)."""
+    want = min(want, n_local)
+    for c in range(want, 0, -1):
+        if n_local % c == 0:
+            return c
+    return n_local
+
+
+def _ring_matmat_fn(Xm, row_valid, g, n, sigma, bias, sn2, P_sz, axis,
+                    tile_chunk: int = None):
     """Blocked ring matmat closure: (n_local, B) -> (A V)_local with
     all B columns riding one rotation of the ring (the per-step tile
-    build dominates, exactly like the single-chip op.matmat)."""
+    build dominates, exactly like the single-chip op.matmat).
+
+    Within each ring step the visiting block is processed in
+    `tile_chunk`-column panels (lax.scan, differentiable — the
+    gradient surrogate runs through this same closure), so nothing
+    larger than (n_local, tile_chunk) is ever materialized."""
     n_local = Xm.shape[0]
     p = lax.axis_index(axis)
     perm = _ring_perm(P_sz)
+    chunk = _pick_chunk(n_local, tile_chunk or TILE_CHUNK)
+    n_chunks = n_local // chunk
 
     def matmat(V_local):
         Vz = jnp.where(row_valid[:, None], V_local, 0.0)
 
         def step(carry, _):
             Xb, Vb, src, Q = carry
-            gc = src * n_local + jnp.arange(n_local)
-            Kt = _tile(Xm, Xb, sigma, bias, gr=g, gc=gc,
-                       mask=row_valid[:, None] & (gc < n)[None, :])
-            Q = Q + jnp.matmul(Kt, Vb, precision=_PREC)
+            gc_base = src * n_local
+
+            # jax.checkpoint: the gradient surrogate differentiates
+            # through this scan, and without remat the backward pass
+            # stacks every (n_local, chunk) Kt panel — n_chunks x
+            # panel = the full tile again (measured: 2 x 16 GB HBM
+            # allocations at N=65536). Rematerializing keeps backward
+            # memory at ONE panel.
+            @jax.checkpoint
+            def panel(Qc, ci):
+                s = ci * chunk
+                Xc = lax.dynamic_slice_in_dim(Xb, s, chunk, 0)
+                Vc = lax.dynamic_slice_in_dim(Vb, s, chunk, 0)
+                gcc = gc_base + s + jnp.arange(chunk)
+                Kt = _tile(Xm, Xc, sigma, bias, gr=g, gc=gcc,
+                           mask=row_valid[:, None]
+                           & (gcc < n)[None, :])
+                return Qc + jnp.matmul(Kt, Vc, precision=_PREC), None
+
+            if n_chunks == 1:
+                Q, _ = panel(Q, jnp.asarray(0, jnp.int32))
+            else:
+                Q, _ = lax.scan(panel, Q, jnp.arange(n_chunks))
             Xb = lax.ppermute(Xb, axis, perm)
             Vb = lax.ppermute(Vb, axis, perm)
             src = lax.ppermute(src, axis, perm)
@@ -481,9 +527,13 @@ def _ring_bcg(matmat, B_local, pinv, tol, maxiter, axis,
     # chain stalls independently); the initial carry must match
     stall0 = pvary_like(jnp.asarray(0), rn0)
     state = (X, R, Z, Pv, rz, jnp.asarray(0), X, rn0, stall0)
-    _X, _R, _Z, _P, _rz, it, Xbest, _rb, _st = lax.while_loop(
+    _X, _R, _Z, _P, _rz, it, Xbest, rn_best, _st = lax.while_loop(
         cond, body, state)
-    return Xbest, it
+    # worst-column achieved relative residual ||r||/||b|| (psum'd, so
+    # replicated) — the honest convergence record for ring eval rows
+    rel = jnp.sqrt(jnp.max(jnp.where(
+        rn0 > 0, rn_best / jnp.where(rn0 > 0, rn0, 1.0), 0.0)))
+    return Xbest, it, rel
 
 
 def _ring_slq_logdet(matmat, inv_sqrt, logdet_P, Z_local, n_true,
@@ -535,7 +585,9 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
                             slq_probes: int = 16,
                             lanczos_iters: int = 32,
                             cg_tol: float = 1e-4, cg_maxiter: int = 400,
-                            probe_seed: int = 0) -> Callable:
+                            probe_seed: int = 0,
+                            with_stats: bool = False,
+                            tile_chunk: int = None) -> Callable:
     """Ring-distributed matrix-free NLML + gradient — the training
     route past the row-panel wall (VERDICT r2 #4): nothing larger than
     an (n_local, n_local) tile or an (n_local, probes) block ever
@@ -574,21 +626,27 @@ def make_ring_nlml_and_grad(kernel, mesh: Mesh, n: int,
     P_sz = n_devices or len(mesh.devices)
     body = _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
                            slq_probes, lanczos_iters, cg_tol,
-                           cg_maxiter, probe_seed)
+                           cg_maxiter, probe_seed,
+                           with_stats=with_stats,
+                           tile_chunk=tile_chunk)
+    out_specs = (P(), P(), P()) if with_stats else (P(), P())
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
     )
     return jax.jit(mapped)
 
 
 def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
                     slq_probes, lanczos_iters, cg_tol, cg_maxiter,
-                    probe_seed, uniform_axis=None):
+                    probe_seed, uniform_axis=None, with_stats=False,
+                    tile_chunk=None):
     """Per-device ring NLML+grad body, reusable across the 1-D mesh
     and the two-level (chains x dp) mesh (mirrors parallel/nlml's
-    _make_nlml_body split)."""
+    _make_nlml_body split). `with_stats=True` additionally returns the
+    replicated [cg_iters, achieved_rel_residual] vector — the honest
+    convergence record for ring eval rows (VERDICT r4 #1)."""
     nk = kernel.n_params
 
     def body(flat, X_local, y_local):
@@ -600,7 +658,7 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
         Xm, g, row_valid = _mapped_local(kernel, params, X_local, n,
                                          axis)
         matmat = _ring_matmat_fn(Xm, row_valid, g, n, sigma, bias, sn2,
-                                 P_sz, axis)
+                                 P_sz, axis, tile_chunk)
         L_local = _ring_pivchol_dispatch(Xm, row_valid, g, sigma, bias,
                                          precond_rank, n_pad, axis)
         pinv, inv_sqrt, logdet_P = _ring_precond(L_local, sn2, n, axis)
@@ -625,7 +683,7 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
         # f32-stable solve route; the implicit-PCG recurrence breaks
         # down at the flagship conditioning (see
         # inference.iterative.whitened_solve_info)
-        sols_w, _it = _ring_bcg(
+        sols_w, cg_it, cg_rel = _ring_bcg(
             lambda V: inv_sqrt(matmat(inv_sqrt(V))),
             inv_sqrt(rhs), None, cg_tol, cg_maxiter, axis,
             uniform_axis=uniform_axis)
@@ -658,7 +716,7 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
             sig_, b_, sn2_ = ep_["Sigma"], bp_["Sigma"], flat_[nk]
             Xm_, _, _ = _mapped_local(kernel, params_, X_local, n, axis)
             mm = _ring_matmat_fn(Xm_, row_valid, g, n, sig_, b_, sn2_,
-                                 P_sz, axis)
+                                 P_sz, axis, tile_chunk)
             AV = mm(V)
             AV = jnp.where(row_valid[:, None], AV, 0.0)
             return 0.5 * jnp.sum(U * AV)
@@ -667,6 +725,10 @@ def _make_ring_body(kernel, n, P_sz, axis, precond_rank, probes,
         # cotangent is inserted by shard_map (same note as
         # parallel/nlml.py)
         grad = jax.grad(surrogate)(flat)
+        if with_stats:
+            stats = jnp.stack([cg_it.astype(value.dtype),
+                               cg_rel.astype(value.dtype)])
+            return value, grad, stats
         return value, grad
 
     return body
@@ -779,13 +841,13 @@ def make_ring_predict(kernel, mesh: Mesh, n: int, n_devices: int = None,
                                              axis)
             _pinv, inv_sqrt, _ld = _ring_precond(L_local, sn2, n, axis)
             # whitened CG — f32-stable (see make_ring_nlml_and_grad)
-            sols_w, _it = _ring_bcg(
+            sols_w, _it, _rel = _ring_bcg(
                 lambda V: inv_sqrt(matmat(inv_sqrt(V))),
                 inv_sqrt(rhs), None, tol, maxiter, axis)
             sols = inv_sqrt(sols_w)
         else:
-            sols, _it = _ring_bcg(matmat, rhs, None, tol, maxiter,
-                                  axis)
+            sols, _it, _rel = _ring_bcg(matmat, rhs, None, tol,
+                                        maxiter, axis)
         alpha, U = sols[:, 0], sols[:, 1:]
 
         mu = lax.psum(jnp.matmul(kX.T, alpha[:, None],

@@ -338,10 +338,36 @@ class IterativePredictor:
 
         return cross
 
+    #: max RHS columns per whitened-CG solve: the streamed Pallas
+    #: matmat pipelines (B, tn) + (tm, B) blocks through VMEM, so its
+    #: footprint grows with the column count — measured: B >= ~2048 at
+    #: tile 512 exceeds the 16 MB scoped-vmem budget on v5e. Solves
+    #: are chunked to this width; each chunk still amortizes one full
+    #: O(N^2) operator pass across all its columns.
+    SOLVE_COL_BLOCK = 1024
+
     def _var_batch(self, Xsm):
         kx = self._cross_fn(Xsm)                     # (n, B)
-        W, it = self._solve(kx)
-        self.last_cg_iters = int(it)
+        B = kx.shape[1]
+        blk = self.SOLVE_COL_BLOCK
+        if B <= blk:
+            W, it = self._solve(kx)
+            self.last_cg_iters = int(it)
+        else:
+            pad = (-B) % blk
+            if pad:
+                kx_p = jnp.concatenate(
+                    [kx, jnp.zeros((kx.shape[0], pad), kx.dtype)], 1)
+            else:
+                kx_p = kx
+            parts, iters = [], 0
+            for s in range(0, B + pad, blk):
+                Wb, it = self._solve(
+                    jax.lax.dynamic_slice_in_dim(kx_p, s, blk, 1))
+                parts.append(Wb)
+                iters = max(iters, int(it))
+            W = jnp.concatenate(parts, axis=1)[:, :B]
+            self.last_cg_iters = iters
         kss = self.s2 + self.bias                    # k(x*, x*)
         var = kss - jnp.sum(kx * W, axis=0)
         # clamp BEFORE the noise add — reference order,
@@ -362,14 +388,19 @@ class IterativePredictor:
         return mix
 
     def __call__(self, Xstar, batch_size: int = 4096,
-                 mean_only: bool = False
+                 mean_only: bool = False, latent: bool = False
                  ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """`latent=True` returns the LATENT Gaussian (mu, var) —
+        noise included, warp mix NOT applied — the quantities exact
+        warped predictive densities and quantile-mapped intervals are
+        built from (p(y*) = N(g(y*); mu, var) g'(y*) for monotone g).
+        No-op for plain Gaussian models."""
         Xs = np.asarray(Xstar)
         m = Xs.shape[0]
         mus, vars_ = [], []
         # the warped predictive mean mixes over the latent sigma, so
         # warped mean_only still needs the variance solve
-        need_var = (not mean_only) or self.warped
+        need_var = (not mean_only) or (self.warped and not latent)
         for start in range(0, m, batch_size):
             chunk = Xs[start : start + batch_size]
             pad = batch_size - chunk.shape[0]
@@ -380,7 +411,7 @@ class IterativePredictor:
             take = batch_size - pad
             mu_b = self._mean_fn(Xsm)
             var_b = self._var_batch(Xsm) if need_var else None
-            if self.warped:
+            if self.warped and not latent:
                 mu_b, var_b = self._warp_mix_fn(mu_b, var_b)
             mus.append(np.asarray(mu_b)[:take])
             if not mean_only:

@@ -96,3 +96,18 @@ class TestFitSGPR:
         mse = float(jnp.mean((mu - y[:20]) ** 2))
         assert mse < 0.1
         assert (np.asarray(var) >= 0).all()
+
+    def test_fixed_z_fit_keeps_inducing_at_init(self):
+        """optimize_z=False (the m-sweep ablation arm): Z must come
+        back exactly at init_inducing's subset while hypers still
+        move and the bound still improves."""
+        from gp_ss_ak_tpu.inference import sgpr
+        from gp_ss_ak_tpu.inference.sgpr import fit_sgpr
+
+        model, X, y = make_problem(n=150)
+        Z0 = sgpr.init_inducing(jnp.asarray(X), 24)
+        fitted, Z, res = fit_sgpr(model, X, y, m=24, iters=20,
+                                  optimize_z=False)
+        np.testing.assert_array_equal(np.asarray(Z), np.asarray(Z0))
+        assert res.fun < res.trace[0] - 1.0
+        assert res.x.shape[0] == model.n_params   # hypers only
