@@ -568,6 +568,45 @@ class TestRingTraining:
         assert abs(float(v) - v_d) / abs(v_d) < 0.01, (float(v), v_d)
         assert np.isfinite(np.asarray(g)).all()
 
+    def test_pick_chunk_divides(self):
+        from gp_ss_ak_tpu.parallel.ring import _pick_chunk
+
+        # tile panels must align exactly: chunk | n_local, chunk <= want
+        for n_local, want in ((65536, 4096), (100096, 4096),
+                              (12512, 4096), (8, 4096), (391, 100)):
+            c = _pick_chunk(n_local, want)
+            assert n_local % c == 0 and c <= max(want, 1) \
+                and c >= 1, (n_local, want, c)
+        assert _pick_chunk(100096, 4096) == 3128    # 2^3 * 17 * 23 * 32
+
+    def test_ring_chunked_tiles_match_unchunked(self, mesh):
+        """tile_chunk must be a pure memory knob: value, grad, AND
+        stats identical (same program math) whether the visiting
+        block is processed whole or in panels."""
+        from gp_ss_ak_tpu.parallel import make_ring_nlml_and_grad
+
+        n = 96
+        X = RNG.normal(size=(n, 3))
+        y = np.sin(X[:, 0])
+        model = default_model(input_dim=3, dtype=jnp.float64)
+        Xs, ys, ntrue, _ = shard_training_data(mesh, X, y, nb=NB)
+        outs = []
+        for chunk in (None, 4):        # n_local = 16 -> 4 panels
+            f = make_ring_nlml_and_grad(
+                model.kernel, mesh, n=ntrue, precond_rank=16,
+                probes=4, slq_probes=8, lanczos_iters=16,
+                cg_tol=1e-10, cg_maxiter=400, with_stats=True,
+                tile_chunk=chunk)
+            v, g, st = f(model.pack(), Xs, ys)
+            outs.append((float(v), np.asarray(g), np.asarray(st)))
+        (v0, g0, s0), (v1, g1, s1) = outs
+        np.testing.assert_allclose(v1, v0, rtol=1e-12)
+        np.testing.assert_allclose(g1, g0, rtol=1e-9, atol=1e-11)
+        assert s1[0] == s0[0]                      # same CG trip count
+        # achieved residual: accumulation ORDER differs between the
+        # panel loop and the whole-tile matmul — equal to fp noise only
+        np.testing.assert_allclose(s1[1], s0[1], rtol=1e-3)
+
     def test_ring_grad_matches_dense_small(self, mesh):
         from gp_ss_ak_tpu.optim import make_value_and_grad
         from gp_ss_ak_tpu.parallel import make_ring_nlml_and_grad
