@@ -91,6 +91,13 @@ def _build_parser() -> argparse.ArgumentParser:
     te.add_argument("output_file", nargs="?", default=None)
     te.add_argument("--no-plot", action="store_true")
     te.add_argument("--float64", action="store_true")
+    te.add_argument("--engine", default="auto",
+                    choices=("auto", "dense", "iterative"),
+                    help="serving path: dense factorize-and-predict "
+                         "(gaussian.predict) or the matrix-free "
+                         "IterativePredictor (flagship models only, "
+                         "incl. WarpedGaussian); auto picks iterative "
+                         "past the dense N~32k memory wall")
     return p
 
 
@@ -250,10 +257,18 @@ def cmd_test(args) -> int:
 
     # past the dense wall (K + chol = 8 N^2 bytes), serve through the
     # matrix-free predictor — the reference contract at scale
-    # (gp_ss_ak.cpp:332-508 on GP_Utils.cpp:943-1043)
+    # (gp_ss_ak.cpp:332-508 on GP_Utils.cpp:943-1043); warped models
+    # ride the same route (Gauss-Hermite mix applied inside)
     from gp_ss_ak_tpu.optim.iterative_fit import supports_iterative
 
-    if Xtr.shape[0] > 32768 and supports_iterative(model):
+    engine = getattr(args, "engine", "auto")
+    use_iter = (engine == "iterative"
+                or (engine == "auto" and Xtr.shape[0] > 32768))         and supports_iterative(model)
+    if engine == "iterative" and not supports_iterative(model):
+        print("--engine iterative requires the flagship "
+              "Sum([ExpAns, Bias]) model; falling back to dense",
+              file=sys.stderr)
+    if use_iter:
         from gp_ss_ak_tpu.serve import IterativePredictor
 
         server = IterativePredictor(model, Xtrs, ytrs)

