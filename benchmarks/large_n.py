@@ -643,7 +643,7 @@ def main():
 _SECTIONS = ("crosscheck", "fit", "fit_sgpr_32768",
              "fit_sgpr_100000", "fit_warped_32768",
              "fit_warped_65536", "fit_65536", "fit_100000",
-             "sgpr_sweep_100000")
+             "fit_100000_resumed", "sgpr_sweep_100000")
 
 
 def _merge_write(out):
