@@ -39,6 +39,10 @@ RESULTS = os.path.join(HERE, "results.json")
 
 BATCHES = [1024, 4096, 16384]
 REPS = 3
+#: mean+var above this batch is pure repetition of the same per-1024
+#: chunk cost (and takes ~cg_iters x the GEMM-floor flops PER CHUNK)
+#: - measure it once at the cap, extrapolate linearly
+MAX_VAR_BATCH = 4096
 
 
 def main():
@@ -73,15 +77,21 @@ def main():
         row = {"batch": m}
         for mode, mean_only in (("mean_only", True), ("mean_var",
                                                       False)):
+            if not mean_only and m > MAX_VAR_BATCH:
+                row[mode] = {"skipped": f"var cost is linear in "
+                             f"batch; see batch<={MAX_VAR_BATCH}"}
+                continue
             try:
+                reps = REPS if mean_only else max(1, REPS - 1)
                 walls = []
-                for r in range(REPS + 1):
+                for r in range(reps + 1):
                     t1 = time.perf_counter()
                     mu, var = server(Xq, batch_size=min(m, 4096),
                                      mean_only=mean_only)
                     walls.append(time.perf_counter() - t1)
                 assert np.isfinite(mu).all()
-                med = float(np.median(walls[1:]))
+                med = float(np.median(walls[1:]) if len(walls) > 1
+                            else walls[0])
                 row[mode] = {
                     "s_per_batch": round(med, 3),
                     "preds_per_s": round(m / med, 1),
@@ -94,6 +104,13 @@ def main():
                 jax.clear_caches()
         rows.append(row)
         print(json.dumps(row), flush=True)
+        _write(n, server, setup_s, args, rows)
+    _write(n, server, setup_s, args, rows)
+    print(f"wrote serving_iterative_n{n} -> {RESULTS}")
+
+
+def _write(n, server, setup_s, args, rows):
+    import jax
 
     data = {}
     if os.path.exists(RESULTS):
@@ -117,7 +134,6 @@ def main():
     }
     with open(RESULTS, "w") as f:
         json.dump(data, f, indent=1)
-    print(f"wrote serving_iterative_n{n} -> {RESULTS}")
 
 
 if __name__ == "__main__":
