@@ -189,21 +189,23 @@ def main():
     # --- sampling: CHAINS chains at frozen (eps_star, mass) -----------
     eps_f = jnp.asarray(eps_star, jnp.float32)
     t0 = time.perf_counter()
-    chains, accepts = [], []
+    chains, zchains, accepts = [], [], []
     for c in range(CHAINS):
         ck = jax.random.PRNGKey(100 + c)
         ck, kj = jax.random.split(ck)
         # overdispersed inits: jitter the warmed position
         zc = z + 0.5 * jax.random.normal(kj, z.shape, z.dtype) \
             * jnp.sqrt(inv_mass)
-        draws, aps = [], []
+        draws, zdraws, aps = [], [], []
         for t in range(SAMPLES):
             ck, k = jax.random.split(ck)
             zc, ap = jax.block_until_ready(
                 hmc_step(zc, k, eps_f, inv_mass))
+            zdraws.append(np.asarray(zc))
             draws.append(np.asarray(box.forward(zc)))
             aps.append(float(ap))
         chains.append(np.stack(draws))
+        zchains.append(np.stack(zdraws))
         accepts.append(float(np.mean(aps)))
     sample_wall = time.perf_counter() - t0
     theta = np.stack(chains)            # (chains, samples, p)
@@ -223,6 +225,90 @@ def main():
         "posterior_std": [round(float(v), 4) for v in diag["std"]],
     }
     print(json.dumps(out["sampling"]), flush=True)
+
+    # --- dense-metric refinement --------------------------------------
+    # the diagonal-mass chains above measure the problem (accept ~0.84
+    # but the tight CORRELATED hyperposterior leaves R-hat >> 1 on
+    # short chains); the dense metric M^-1 = cov(pooled z draws) makes
+    # the transformed posterior ~isotropic (bayes.hmc
+    # ._hmc_transition_full) — the Stan dense_e recipe
+    z_pool = np.concatenate(zchains, axis=0)
+    cov_z = np.cov(z_pool.T)
+    cov_z += 1e-3 * np.mean(np.diag(cov_z)) * np.eye(p)   # ridge
+    Minv_np = cov_z
+    mass_np = np.linalg.inv(cov_z)
+    mass_chol = jnp.asarray(np.linalg.cholesky(mass_np), jnp.float32)
+    Minv = jnp.asarray(Minv_np, jnp.float32)
+    full_step = jax.jit(lambda z, key, e: H._hmc_transition_full(
+        log_post_grad, z, key, e, LEAPFROG, mass_chol, Minv))
+
+    # eps in the preconditioned space: a halving SCAN first (dual
+    # averaging alone can collapse after early divergences and not
+    # recover in a short window — measured on the smoke run), then a
+    # short DA refinement from the scanned point
+    zf = z
+    eps_scan = 0.4
+    scan_rows = []
+    while eps_scan > 1e-3:
+        aps_try = []
+        zt = zf
+        for t in range(4):
+            key, k = jax.random.split(key)
+            zt, ap = jax.block_until_ready(
+                full_step(zt, k, jnp.asarray(eps_scan, jnp.float32)))
+            aps_try.append(float(ap))
+        scan_rows.append({"eps": round(eps_scan, 4),
+                          "accept": round(float(np.mean(aps_try)), 3)})
+        if np.mean(aps_try) >= 0.6:
+            zf = zt
+            break
+        eps_scan *= 0.5
+    da = H._da_init(jnp.asarray(eps_scan, jnp.float32))
+    for t in range(20):
+        key, k = jax.random.split(key)
+        zf, ap = jax.block_until_ready(
+            full_step(zf, k, jnp.exp(da.log_eps).astype(jnp.float32)))
+        da = H._da_update(da, ap, target=TARGET_ACCEPT)
+    eps_full = float(np.exp(da.log_eps_bar))
+
+    t0 = time.perf_counter()
+    fchains, faccepts = [], []
+    eps_ff = jnp.asarray(eps_full, jnp.float32)
+    for c in range(CHAINS):
+        ck = jax.random.PRNGKey(300 + c)
+        ck, kj = jax.random.split(ck)
+        # overdispersed inits: ~2 posterior sds along the dense metric
+        zc = zf + 2.0 * jnp.asarray(
+            np.linalg.cholesky(Minv_np) @ np.asarray(
+                jax.random.normal(kj, (p,))), jnp.float32)
+        draws, aps = [], []
+        for t in range(SAMPLES):
+            ck, k = jax.random.split(ck)
+            zc, ap = jax.block_until_ready(full_step(zc, k, eps_ff))
+            draws.append(np.asarray(box.forward(zc)))
+            aps.append(float(ap))
+        fchains.append(np.stack(draws))
+        faccepts.append(float(np.mean(aps)))
+    fw = time.perf_counter() - t0
+    theta = np.stack(fchains)          # mixture uses the mixed chains
+    fdiag = summarize(theta)
+    out["sampling_dense_metric"] = {
+        "samples_per_chain": SAMPLES,
+        "step_size": round(eps_full, 4),
+        "n_leapfrog": LEAPFROG,
+        "metric": "dense (M^-1 = cov of pooled diagonal-phase draws, "
+                  "1e-3 ridge)",
+        "eps_scan": scan_rows,
+        "mean_accept_per_chain": [round(a, 3) for a in faccepts],
+        "wall_s": round(fw, 1),
+        "s_per_transition": round(fw / (CHAINS * SAMPLES), 2),
+        "rhat_max": round(float(np.max(fdiag["rhat"])), 4),
+        "ess_bulk_min": round(float(np.min(fdiag["ess"])), 1),
+        "ess_tail_min": round(float(np.min(fdiag["ess_tail"])), 1),
+        "posterior_mean": [round(float(v), 4) for v in fdiag["mean"]],
+        "posterior_std": [round(float(v), 5) for v in fdiag["std"]],
+    }
+    print(json.dumps(out["sampling_dense_metric"]), flush=True)
 
     # --- adapted NUTS segment (fixes the r4 0.15-accept row) ----------
     t0 = time.perf_counter()

@@ -42,6 +42,62 @@ def _kinetic(r, inv_mass):
 
 
 # ---------------------------------------------------------------------------
+# full-matrix mass (dense preconditioning)
+# ---------------------------------------------------------------------------
+#
+# A diagonal mass cannot precondition a CORRELATED posterior: at large
+# N the flagship hyperposterior is a tight ellipse with strong
+# angle/width correlations, and diagonal-mass HMC random-walks along
+# the stiff directions (measured at N=16384: accept 0.84 but
+# R-hat 2.9 over 2 x 150 transitions). With M = cov(posterior) the
+# transformed posterior is ~isotropic and mixes in O(1) transitions —
+# the standard dense-metric recipe (Stan's dense_e). M is p x p with
+# p ~ 10 hypers, so every apply is trivial next to one NLML eval.
+
+def _leapfrog_full(log_post_grad, z, r, eps, Minv):
+    lp, g = log_post_grad(z)
+    r = r + 0.5 * eps * g
+    z = z + eps * (Minv @ r)
+    lp, g = log_post_grad(z)
+    r = r + 0.5 * eps * g
+    return z, r, lp, g
+
+
+def _kinetic_full(r, Minv):
+    return 0.5 * jnp.dot(r, Minv @ r)
+
+
+def _hmc_transition_full(log_post_grad, z, key, eps, n_leapfrog,
+                         mass_chol, Minv):
+    """One HMC transition under a dense mass matrix M = L L^T
+    (`mass_chol` = L, `Minv` = M^-1, both precomputed): momenta are
+    drawn r = L xi, the kinetic energy is r^T M^-1 r / 2, and the
+    position update moves along M^-1 r. Orientation is the Stan
+    dense-metric convention: M^-1 approximates the POSTERIOR
+    COVARIANCE (so M ~ precision); with that choice eps ~ O(1)."""
+    k_mom, k_acc = jax.random.split(key)
+    xi = jax.random.normal(k_mom, z.shape, z.dtype)
+    r0 = mass_chol @ xi
+    lp0, _ = log_post_grad(z)
+    H0 = -lp0 + _kinetic_full(r0, Minv)
+
+    def body(_, carry):
+        z, r = carry
+        z, r, _, _ = _leapfrog_full(log_post_grad, z, r, eps, Minv)
+        return z, r
+
+    z1, r1 = lax.fori_loop(0, n_leapfrog, body, (z, r0))
+    lp1, _ = log_post_grad(z1)
+    H1 = -lp1 + _kinetic_full(r1, Minv)
+    dH = H0 - H1
+    accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 50.0)))
+    accept_prob = jnp.where(jnp.isnan(accept_prob), 0.0, accept_prob)
+    accept = jax.random.uniform(k_acc) < accept_prob
+    z_new = jnp.where(accept, z1, z)
+    return z_new, accept_prob
+
+
+# ---------------------------------------------------------------------------
 # dual averaging (Nesterov) for step size
 # ---------------------------------------------------------------------------
 

@@ -52,6 +52,63 @@ class TestSamplersOnGaussian:
         np.testing.assert_allclose(s.mean(0), 0.0, atol=0.15)
         np.testing.assert_allclose(np.cov(s.T), cov, atol=0.35)
 
+    def test_full_mass_hmc_mixes_stiff_correlated_target(self):
+        """Dense-metric HMC (bayes.hmc._hmc_transition_full) on a
+        tightly correlated Gaussian: with M = target covariance the
+        transformed target is isotropic, so a short chain must land
+        the moments a diagonal-mass chain of the same length cannot
+        (the N=16384 hyperposterior failure mode — accept high,
+        mixing nil)."""
+        from gp_ss_ak_tpu.bayes.hmc import (
+            _hmc_transition,
+            _hmc_transition_full,
+        )
+
+        rho = 0.999
+        scales = np.array([1.0, 1e-2])
+        C = np.array([[1.0, rho], [rho, 1.0]]) * np.outer(scales,
+                                                          scales)
+        prec = jnp.asarray(np.linalg.inv(C))
+
+        def log_post(z):
+            return -0.5 * z @ prec @ z
+
+        lp_grad = jax.value_and_grad(log_post)
+
+        def lpg(z):
+            return lp_grad(z)
+
+        # dense metric the Stan way: M^-1 ~ covariance, M = precision
+        L = jnp.asarray(np.linalg.cholesky(np.linalg.inv(C)))
+        Minv = jnp.asarray(C)
+        step_f = jax.jit(lambda z, k: _hmc_transition_full(
+            lpg, z, k, jnp.asarray(0.9), 8, L, Minv))
+        ones = jnp.ones(2)
+        step_d = jax.jit(lambda z, k: _hmc_transition(
+            lpg, z, k, jnp.asarray(0.009), 8, ones))
+        # diagonal eps must resolve the stiff scale (~1e-2/eps steps)
+
+        def run(step, key):
+            z = jnp.zeros(2)
+            out = []
+            aps = []
+            for i in range(300):
+                key, k = jax.random.split(key)
+                z, ap = step(z, k)
+                out.append(np.asarray(z))
+                aps.append(float(ap))
+            return np.stack(out), float(np.mean(aps))
+
+        sf, af = run(step_f, jax.random.PRNGKey(0))
+        sd, ad = run(step_d, jax.random.PRNGKey(1))
+        assert af > 0.6
+        # full-mass: covariance recovered on a 300-transition chain
+        np.testing.assert_allclose(np.cov(sf.T), C, rtol=0.5,
+                                   atol=0.1 * float(C[0, 0]))
+        # the long-axis variance: full mass explores it, diagonal
+        # (with the stiff-scale step) barely moves along it
+        assert np.var(sf[:, 0]) > 5 * np.var(sd[:, 0])
+
     def test_nuts_explores_better_than_iid_start(self):
         # anisotropic target: NUTS should traverse the long axis
         def log_post(z):
