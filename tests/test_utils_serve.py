@@ -205,6 +205,25 @@ class TestIterativePredictor:
         with pytest.raises(ValueError):
             IterativePredictor(model, X, np.zeros(8))
 
+    def test_var_solve_column_chunking_is_invisible(self, monkeypatch):
+        """SOLVE_COL_BLOCK (the streamed-matmat VMEM ceiling) must be
+        a pure memory knob: chunked variance solves with a padded tail
+        block == one whole-batch solve."""
+        from gp_ss_ak_tpu.serve import IterativePredictor
+
+        model, X, y = self.make(256)
+        Xs = np.random.default_rng(12).uniform(-1, 1, (48, 3))
+        it = IterativePredictor(model, X, y, precond_rank=32,
+                                cg_tol=1e-8, chunk=128)
+        _mu, var_whole = it(Xs, batch_size=64)
+        monkeypatch.setattr(IterativePredictor, "SOLVE_COL_BLOCK", 20)
+        _mu2, var_chunked = it(Xs, batch_size=64)  # 64 -> 4 blocks,
+        # last padded from 4 to 20 zero columns
+        # block-grouped CG stops per-block: agreement is at the f32
+        # solve floor, not bitwise
+        np.testing.assert_allclose(var_chunked, var_whole,
+                                   rtol=1e-3, atol=1e-5)
+
     def test_warped_matches_dense_predict(self):
         """WarpedGaussian serving: the matrix-free route must agree
         with the dense Gauss-Hermite path (gaussian.predict) — the
