@@ -286,7 +286,8 @@ def fit_row(n=FIT_N, iters=FIT_ITERS, engine_opts=None,
             row["host_gap_s_max"] = float(np.max(gaps))
             row["host_gap_s_median"] = float(np.median(gaps))
             row["host_gaps_over_1s"] = [g for g in gaps if g > 1.0]
-        for k in ("pre_first_eval_s", "post_last_eval_s"):
+        for k in ("pre_first_eval_s", "post_last_eval_s",
+                  "backend_touch_s"):
             if k in timing:
                 row[k] = round(timing[k], 1)
     if with_quality:

@@ -117,6 +117,18 @@ def fit(
     import time as _time
 
     _t_enter = _time.perf_counter()
+    if timing is not None:
+        # isolate backend/tunnel session establishment from engine
+        # construction: the first device touch in a fresh process has
+        # been measured anywhere from 1.7 s (idle tunnel) to 212 s
+        # (remote worker churn after a previous process exited) — it
+        # is environmental, and without this probe it lands in
+        # whatever code issues the first dispatch
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        _jax.block_until_ready(_jnp.zeros(()))
+        timing["backend_touch_s"] = _time.perf_counter() - _t_enter
     x0 = np.asarray(model.pack(), np.float64)
     if checkpoint_path:
         from gp_ss_ak_tpu.utils.checkpoint import (
