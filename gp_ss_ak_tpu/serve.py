@@ -339,17 +339,26 @@ class IterativePredictor:
         return cross
 
     #: max RHS columns per whitened-CG solve: the streamed Pallas
-    #: matmat pipelines (B, tn) + (tm, B) blocks through VMEM, so its
-    #: footprint grows with the column count — measured: B >= ~2048 at
-    #: tile 512 exceeds the 16 MB scoped-vmem budget on v5e. Solves
-    #: are chunked to this width; each chunk still amortizes one full
-    #: O(N^2) operator pass across all its columns.
+    #: matmat keeps the full 32 x npad transposed-points array in VMEM
+    #: (that is what lets it scale in ROWS) plus pipelined (B, tn) and
+    #: (tm, B) column blocks — so the safe column count SHRINKS as n
+    #: grows. Measured on a 16 GB v5e at tile 512: B=2048 dies at
+    #: n=4096 (scoped-vmem OOM), B=1024 is fine at n=65536 but crashes
+    #: the worker at n=100000, where B=512 is fine. Each chunk still
+    #: amortizes one full O(N^2) operator pass across its columns.
     SOLVE_COL_BLOCK = 1024
+    SOLVE_COL_BLOCK_LARGE_N = 512
+    LARGE_N_THRESHOLD = 80000
+
+    def _solve_col_block(self) -> int:
+        if self.n > self.LARGE_N_THRESHOLD:
+            return self.SOLVE_COL_BLOCK_LARGE_N
+        return self.SOLVE_COL_BLOCK
 
     def _var_batch(self, Xsm):
         kx = self._cross_fn(Xsm)                     # (n, B)
         B = kx.shape[1]
-        blk = self.SOLVE_COL_BLOCK
+        blk = self._solve_col_block()
         if B <= blk:
             W, it = self._solve(kx)
             self.last_cg_iters = int(it)
