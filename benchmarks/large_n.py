@@ -617,7 +617,7 @@ def main():
             ("fit_100000", lambda: fit_row(
                 n=100000, iters=25, with_quality=True,
                 engine_opts=dict(STREAM_OPTS, slq_probes=16,
-                                 segmented=True),
+                                 segmented=True, warm_start=False),
                 checkpoint_path="/tmp/gp_fit_100000.npz")),
         ]
         if args.fit_stages:
@@ -644,7 +644,8 @@ def main():
 _SECTIONS = ("crosscheck", "fit", "fit_sgpr_32768",
              "fit_sgpr_100000", "fit_warped_32768",
              "fit_warped_65536", "fit_65536", "fit_100000",
-             "fit_100000_resumed", "sgpr_sweep_100000")
+             "fit_100000_resumed", "fit_100000_warmstart_noise_stop",
+             "sgpr_sweep_100000")
 
 
 def _merge_write(out):
