@@ -604,8 +604,12 @@ class TestRingTraining:
         np.testing.assert_allclose(g1, g0, rtol=1e-9, atol=1e-11)
         assert s1[0] == s0[0]                      # same CG trip count
         # achieved residual: accumulation ORDER differs between the
-        # panel loop and the whole-tile matmul — equal to fp noise only
-        np.testing.assert_allclose(s1[1], s0[1], rtol=1e-3)
+        # panel loop and the whole-tile matmul, and both solves bottom
+        # out at the fp floor (~1e-10 here) where relative wiggle is
+        # pure noise — check both converged far past tolerance and
+        # agree to within the floor's jitter
+        assert s0[1] < 1e-8 and s1[1] < 1e-8
+        np.testing.assert_allclose(s1[1], s0[1], rtol=0.25)
 
     def test_ring_grad_matches_dense_small(self, mesh):
         from gp_ss_ak_tpu.optim import make_value_and_grad
