@@ -343,6 +343,9 @@ def _recorded_story():
             "accept": sm.get("mean_accept_per_chain"),
             "adapted_eps": sm.get("step_size"),
             "rhat_max": sm.get("rhat_max"),
+            "rhat_max_identified": sm.get("rhat_max_identified"),
+            "ess_bulk_min_identified":
+                sm.get("ess_bulk_min_identified"),
             "ess_bulk_min": sm.get("ess_bulk_min"),
             "mixture_vs_point_mse": [
                 (bp.get("predictive_mixture") or {}).get("holdout_mse"),
