@@ -258,7 +258,8 @@ def _recorded_story():
             out[label] = {k: blk.get(k) for k in
                           ("iters", "evals", "fit_wall_s", "nlml_start",
                            "nlml_final", "train_mse", "holdout_mse",
-                           "eval_s_steady_median")
+                           "eval_s_steady_median", "converged",
+                           "stop_reason")
                           if k in blk}
     st = data.get("stream_tuning") or {}
     strows = [r for r in st.get("rows", []) if "eval_s" in r]
